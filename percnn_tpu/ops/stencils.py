@@ -1,0 +1,129 @@
+"""Finite-difference stencil operators on periodic grids.
+
+TPU-first design: instead of materialising 5x5(x5) convolution kernels that are
+almost entirely zeros (the reference builds dense conv kernels for the 5-point
+cross Laplacian, train_2drd.py:20-24, and the 13-point 3D Laplacian,
+train_3drd.py:22-39, then dispatches to cuDNN), we express each stencil as a
+weighted sum of circularly-shifted copies of the field.  ``jnp.roll`` with a
+static shift lowers to cheap lane/sublane rotations on TPU and XLA fuses the
+whole weighted sum into a single vectorised loop — no im2col, no kernel
+materialisation, and periodic boundary conditions come for free (the reference
+instead manually wrap-pads with ``torch.cat``, train_2drd.py:108-109).
+
+All operators act on a chosen set of spatial axes so the same code serves
+fields shaped [H, W], [H, W, C], [T, H, W, C], [D, H, W, C], etc.
+
+Stencil coefficients (4th-order central differences, identical to the
+reference):
+  d2/dx2 : [-1/12, 4/3, -5/2, 4/3, -1/12] / dx^2     (train_2drd.py:20-24)
+  d/dx   : [1/12, -2/3, 0, 2/3, -1/12] / dx           (Stage-2/derivatives.py:10-20)
+  d/dt   : forward difference (u[t+1]-u[t]) / dt      (percnn_LO_eqn.py:282-285)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax.numpy as jnp
+
+# 1D second-derivative cross-section of the 4th-order Laplacian, offsets -2..2.
+LAP_CROSS_1D = (-1.0 / 12.0, 4.0 / 3.0, -5.0 / 2.0, 4.0 / 3.0, -1.0 / 12.0)
+
+# 4th-order central first derivative, offsets -2..2.
+FD1_CENTRAL_1D = (1.0 / 12.0, -2.0 / 3.0, 0.0, 2.0 / 3.0, -1.0 / 12.0)
+
+STENCIL_HALO = 2  # all spatial stencils reach 2 cells
+
+
+def _shifted_sum(u: jnp.ndarray, coeffs: Sequence[float], axis: int) -> jnp.ndarray:
+    """sum_k coeffs[k] * u shifted by offset (k - r) along `axis` (periodic).
+
+    ``jnp.roll(u, -offset)`` aligns u[i + offset] with index i.
+    """
+    r = len(coeffs) // 2
+    out = None
+    for k, c in enumerate(coeffs):
+        if c == 0.0:
+            continue
+        off = k - r
+        term = u if off == 0 else jnp.roll(u, -off, axis=axis)
+        term = term * c
+        out = term if out is None else out + term
+    return out
+
+
+def laplacian(u: jnp.ndarray, dx: float, axes: Sequence[int]) -> jnp.ndarray:
+    """4th-order Laplacian over `axes` on a periodic grid.
+
+    2D (axes of len 2): the 5-point-per-axis cross stencil, identical
+    coefficients to the reference `lap_2d_op` (train_2drd.py:20-24).
+    3D (len 3): identical to the reference `laplace_3d` element table
+    (train_3drd.py:22-39) — per-axis [-1/12, 4/3, .., 4/3, -1/12] with a
+    combined centre of -15/2 (= 3 * -5/2).
+    """
+    acc = None
+    for ax in axes:
+        t = _shifted_sum(u, LAP_CROSS_1D, ax)
+        acc = t if acc is None else acc + t
+    return acc / (dx * dx)
+
+
+def grad_axis(u: jnp.ndarray, dx: float, axis: int) -> jnp.ndarray:
+    """4th-order central first derivative along one periodic axis
+    (reference dx_2d_op / dy_2d_op, Stage-2/derivatives.py:10-20)."""
+    return _shifted_sum(u, FD1_CENTRAL_1D, axis) / dx
+
+
+def time_derivative_fwd(seq: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Forward-difference time derivative matching the reference residual
+    indexing: out[i] = (seq[i+1] - seq[i]) / dt for i in [0, T-2).
+
+    The reference implements this as a kernel-size-3 Conv1d with filter
+    [-1, 1, 0] and no padding after a [T,C,H,W] -> [H*W,1,T] permute
+    (train_2drd.py:292-309); on TPU it is a single strided subtraction over
+    the leading axis, shape [T, ...] -> [T-2, ...] so it aligns with spatial
+    terms evaluated on frames [0:T-2].
+    """
+    return (seq[1:-1] - seq[:-2]) / dt
+
+
+def periodic_pad(u: jnp.ndarray, width: int, axes: Sequence[int]) -> jnp.ndarray:
+    """Wrap-pad `u` by `width` cells on both sides of each axis in `axes`.
+
+    Equivalent to the reference's manual edge-slice ``torch.cat`` periodic
+    padding (train_2drd.py:108-109, train_3drd.py:125-127) but via
+    ``jnp.pad(mode='wrap')``.  Used at the seams where an op needs an
+    explicitly padded block (e.g. shard-local stencils after halo exchange).
+    """
+    pad = [(0, 0)] * u.ndim
+    for ax in axes:
+        pad[ax] = (width, width)
+    return jnp.pad(u, pad, mode="wrap")
+
+
+# Convenience wrappers for the library-native [..., H, W, C] layout ---------
+
+
+def laplacian_2d(u: jnp.ndarray, dx: float) -> jnp.ndarray:
+    """Laplacian over the last-but-two axes (H, W) of [..., H, W, C]."""
+    return laplacian(u, dx, axes=(u.ndim - 3, u.ndim - 2))
+
+
+def laplacian_3d(u: jnp.ndarray, dx: float) -> jnp.ndarray:
+    """Laplacian over (D, H, W) of [..., D, H, W, C]."""
+    return laplacian(u, dx, axes=(u.ndim - 4, u.ndim - 3, u.ndim - 2))
+
+
+def grad_x(u: jnp.ndarray, dx: float) -> jnp.ndarray:
+    """d/dx where x is the width axis (last spatial axis) of [..., H, W, C].
+
+    Matches the reference convention: `dx_2d_op` differentiates along the
+    conv width axis (Stage-2/derivatives.py:10-14).
+    """
+    return grad_axis(u, dx, axis=u.ndim - 2)
+
+
+def grad_y(u: jnp.ndarray, dx: float) -> jnp.ndarray:
+    """d/dy where y is the height axis of [..., H, W, C]."""
+    return grad_axis(u, dx, axis=u.ndim - 3)

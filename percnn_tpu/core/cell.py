@@ -52,6 +52,10 @@ class PiCellConfig:
     dx: float = 0.01
     diffusion: str = "sigmoid"    # 'sigmoid' (mu_up*sigmoid(c)) | 'raw'
     mu_up: float = 3.99e-5        # diffusion upper bound (sigmoid mode)
+    diff_init: float | None = None  # raw mode: constant init (the reference
+                                  # forward sim sets DA=DB=0.2,
+                                  # percnn_LO_eqn.py:42-43); sigmoid mode:
+                                  # None => U(-1,1) logits (train_2drd.py:60-62)
     init: str = "xavier"          # 'xavier' | 'fanin'
     init_scale: float = 0.02      # the reference's c constant
 
@@ -71,8 +75,8 @@ def init_pi_cell(key, cfg: PiCellConfig, dtype=jnp.float32) -> dict:
             aggregation w_out [hidden, 1] (always 1x1), b_out [1].
     """
     k_diff, key = jax.random.split(key)
-    if cfg.diffusion == "raw":
-        diff = uniform_symmetric(k_diff, (cfg.channels,), 1.0, dtype)
+    if cfg.diff_init is not None:
+        diff = jnp.full((cfg.channels,), cfg.diff_init, dtype)
     else:
         diff = uniform_symmetric(k_diff, (cfg.channels,), 1.0, dtype)
 

@@ -34,10 +34,14 @@ def scaled_xavier_uniform(key, shape, c: float = 1.0, dtype=jnp.float32) -> jnp.
 
 
 def scaled_fanin_uniform(key, shape, c: float = 1.0, dtype=jnp.float32) -> jnp.ndarray:
-    """U(-c*sqrt(1/fan_in), c*sqrt(1/fan_in)) — the forward-sim variant
-    (percnn_LO_eqn.py:86-95 uses c=0.5 with fan_in of the 1x1 branches)."""
-    fan_in, _ = _fans(shape)
-    b = c * math.sqrt(1.0 / fan_in)
+    """U(-b, b) with b = c*sqrt(1/prod(shape[:-1]_torch)) — the forward-sim
+    variant (percnn_LO_eqn.py:86-95, c=0.5).  Torch weights are OIHW so
+    prod(shape[:-1]) = O*I*prod(k[:-1]); for the 1x1 branches that is
+    out_ch*in_ch.  Our layout is [*k, Cin, Cout]."""
+    fan = shape[-1] * shape[-2]
+    for s in shape[:-3]:  # spatial dims except the last one
+        fan *= s
+    b = c * math.sqrt(1.0 / fan)
     return jax.random.uniform(key, shape, dtype, minval=-b, maxval=b)
 
 

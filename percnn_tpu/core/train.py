@@ -1,0 +1,186 @@
+"""Training loop: Adam + StepLR-equivalent schedule, composite losses,
+NaN watchdog, atomic checkpoint/resume, best-val policy.
+
+Replaces the per-script `train` free functions of the reference (SURVEY L5:
+percnn_LO_eqn.py:360-383, train_2drd.py:374-425, train_3drd.py:376-436,
+rcnn_Burgers...py:581-639) with one trainer:
+
+- the whole update (loss -> grads -> Adam -> apply) is a single jitted
+  function; the learning rate enters as a traced scalar so the host can
+  drive the StepLR staircase AND the NaN-watchdog decay without recompiles;
+- NaN watchdog: if the monitored loss goes NaN, reload the last checkpoint
+  and shrink the LR by 0.9x (reference train_3drd.py:427-434);
+- checkpoints: cadence ('latest') plus optional best-validation policy
+  (rcnn_Burgers...py:630-638), atomic npz (core/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from percnn_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from percnn_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    n_iters: int = 1000
+    lr: float = 1e-3
+    lr_step: int = 200        # StepLR step_size (iterations)
+    lr_gamma: float = 0.985   # StepLR decay
+    ckpt_path: str | None = None
+    ckpt_every: int = 100
+    best_val: bool = False    # checkpoint on best validation metric
+    val_key: str = "val"      # aux key used for best-val / watchdog
+    watchdog: bool = False    # NaN watchdog (reload + LR*0.9)
+    watchdog_key: str = "phy"
+    log_path: str | None = None
+    log_every: int = 50
+
+
+class TrainState:
+    """params + Adam state + host-side schedule bookkeeping (resumable)."""
+
+    def __init__(self, params, tx):
+        self.params = params
+        self.tx = tx
+        self.opt_state = tx.init(params)
+        self.iteration = 0
+        self.lr_scale = 1.0      # watchdog decay factor
+        self.best_val = math.inf
+
+    def as_tree(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def meta(self):
+        return {
+            "iteration": self.iteration,
+            "lr_scale": self.lr_scale,
+            "best_val": None if math.isinf(self.best_val) else self.best_val,
+        }
+
+    def load_meta(self, meta):
+        self.iteration = int(meta.get("iteration", 0))
+        self.lr_scale = float(meta.get("lr_scale", 1.0))
+        bv = meta.get("best_val")
+        self.best_val = math.inf if bv is None else float(bv)
+
+
+def train(
+    loss_fn: Callable,
+    params,
+    cfg: TrainConfig,
+    *,
+    resume: bool = False,
+    logger: MetricsLogger | None = None,
+) -> tuple:
+    """Run the training loop.
+
+    loss_fn(params) -> (total_loss, aux_dict of scalar metrics).
+    Returns (best-or-final params, loss_history list).
+    """
+    tx = optax.scale_by_adam()
+    state = TrainState(params, tx)
+
+    if resume and cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
+        tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
+        state.params = tree["params"]
+        state.opt_state = tree["opt_state"]
+        state.load_meta(meta)
+
+    @jax.jit
+    def step(params, opt_state, lr):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, aux
+
+    own_logger = logger is None
+    if own_logger:
+        logger = MetricsLogger(cfg.log_path, echo_every=cfg.log_every)
+    history = []
+    best_params = state.params
+
+    def save(path_suffix=""):
+        if cfg.ckpt_path:
+            path = cfg.ckpt_path + path_suffix
+            save_checkpoint(path, state.as_tree(), state.meta())
+
+    try:
+        while state.iteration < cfg.n_iters:
+            it = state.iteration
+            lr = cfg.lr * (cfg.lr_gamma ** (it // cfg.lr_step)) * state.lr_scale
+            new_params, new_opt, total, aux = step(state.params, state.opt_state, lr)
+            total_f = float(total)
+            watch = float(aux.get(cfg.watchdog_key, total)) if cfg.watchdog else total_f
+
+            if cfg.watchdog and (math.isnan(watch) or math.isnan(total_f)):
+                # reference watchdog: reload last checkpoint, LR *= 0.9
+                # (train_3drd.py:427-434)
+                state.lr_scale *= 0.9
+                if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
+                    tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
+                    state.params = tree["params"]
+                    state.opt_state = tree["opt_state"]
+                logger.log(it, event="nan_watchdog", lr_scale=state.lr_scale)
+                state.iteration += 1
+                continue
+
+            state.params, state.opt_state = new_params, new_opt
+            state.iteration += 1
+            history.append(total_f)
+
+            if it % cfg.log_every == 0 or it == cfg.n_iters - 1:
+                logger.log(it, loss=total_f, lr=lr,
+                           **{k: float(v) for k, v in aux.items()})
+
+            val = float(aux.get(cfg.val_key, np.nan))
+            if cfg.best_val and not math.isnan(val) and val < state.best_val:
+                state.best_val = val
+                best_params = state.params
+                save(".best")
+
+            if cfg.ckpt_path and (state.iteration % cfg.ckpt_every == 0
+                                  or state.iteration == cfg.n_iters):
+                save()
+    finally:
+        if own_logger:
+            logger.close()
+
+    return (best_params if cfg.best_val else state.params), history
+
+
+def pretrain_isg(
+    isg_loss_fn: Callable,
+    params,
+    *,
+    n_iters: int = 4000,
+    lr: float = 0.02,
+    log_every: int = 500,
+    logger: MetricsLogger | None = None,
+):
+    """Pre-fit the ISG alone against the interpolated IC (reference
+    pretrain_upscaler, train_2drd.py:355-372: Adam lr 0.02)."""
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(isg_loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for it in range(n_iters):
+        params, opt_state, loss = step(params, opt_state)
+        if logger and it % log_every == 0:
+            logger.log(it, isg_loss=float(loss))
+    return params

@@ -1,0 +1,225 @@
+"""Experiment runner: composes data, model, losses and trainer per config.
+
+Call stacks mirror the reference entry points (SURVEY §3) but share one
+implementation:
+- forward sim  : truth IC -> PiCell rollout -> physics loss      (§3.1)
+- data-driven  : noisy low-res IC -> ISG -> rollout -> data+ic   (§3.2)
+- stage-3      : same but SymbolicCell with Stage-2 coefficients (§3.3)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from percnn_tpu.core.cell import (
+    PiCellConfig,
+    SymbolicCellConfig,
+    init_pi_cell,
+    init_symbolic_cell,
+    pi_cell_step,
+    symbolic_cell_step,
+)
+from percnn_tpu.core.isg import init_isg, isg_apply
+from percnn_tpu.core.losses import DataLossConfig, data_loss, ic_loss, phys_loss, mse
+from percnn_tpu.core.rollout import rollout
+from percnn_tpu.core.train import TrainConfig, pretrain_isg, train
+from percnn_tpu.data.noise import add_noise
+from percnn_tpu.data.simulate import default_ic, simulate
+from percnn_tpu.experiments.configs import ExperimentConfig
+from percnn_tpu.ops.interp import resize_align_corners
+from percnn_tpu.pde.systems import PDE_SYSTEMS
+from percnn_tpu.utils.metrics import MetricsLogger, rel_l2
+
+
+def make_dataset(exp: ExperimentConfig, *, n_frames: int | None = None,
+                 warmup: int = 0, oversample: int = 4, cache_dir: str | None = None):
+    """Ground-truth rollout [T+1, *spatial, 2] for the experiment's system.
+
+    warmup: extra initial steps discarded (lets lambda-omega reach its
+    spiral attractor the way the reference uses snapshot #100 of its
+    dataset as IC, percnn_LO_eqn.py:483-486).
+    """
+    n = exp.grid
+    n_frames = n_frames if n_frames is not None else max(exp.train_steps, exp.infer_steps)
+    cache = None
+    if cache_dir:
+        cache = os.path.join(
+            cache_dir, f"{exp.system}_{n}_{n_frames}_{warmup}_{oversample}.npz"
+        )
+        if os.path.exists(cache):
+            return np.load(cache)["truth"]
+    h0 = default_ic(exp.system, n, seed=exp.seed)
+    if warmup:
+        h0 = simulate(exp.system, h0, warmup, exp.dt, exp.dx, oversample=oversample)[-1]
+    truth = simulate(exp.system, h0, n_frames, exp.dt, exp.dx, oversample=oversample)
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(cache, truth=truth)
+    return truth
+
+
+@dataclasses.dataclass
+class Problem:
+    """Everything the loss needs, device-resident."""
+
+    exp: ExperimentConfig
+    truth: np.ndarray          # [T+1, *spatial, 2] clean (for eval)
+    h0: jnp.ndarray | None     # full-res IC (forward sim) or None
+    ic_low: jnp.ndarray | None # low-res noisy IC (data-driven) or None
+    measurement: jnp.ndarray | None  # subsampled noisy truth or None
+
+
+def setup_problem(exp: ExperimentConfig, truth: np.ndarray, dtype=jnp.float32) -> Problem:
+    noisy = add_noise(truth, exp.noise_pct, seed=exp.seed)
+    nd = exp.cell.ndim
+    if exp.isg is None:
+        return Problem(exp, truth, jnp.asarray(truth[0], dtype), None, None)
+    s = exp.data.space_stride if exp.data else 1
+    scale = exp.isg.scale
+    down = (slice(None, None, scale),) * nd
+    ic_low = jnp.asarray(noisy[0][down], dtype)[None]  # [1, *low, 2]
+    meas = None
+    if exp.data is not None:
+        t_sl = slice(0, -1 if exp.data.drop_last_frame else None, exp.data.time_stride)
+        idx = (t_sl,) + (slice(None, None, exp.data.space_stride),) * nd
+        meas = jnp.asarray(noisy[: exp.train_steps + 1][idx], dtype)
+    return Problem(exp, truth, None, ic_low, meas)
+
+
+def init_model(exp: ExperimentConfig, key, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    params = {"cell": init_pi_cell(k1, exp.cell, dtype)}
+    if exp.isg is not None:
+        params["isg"] = init_isg(k2, exp.isg, dtype)
+    return params
+
+
+def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True):
+    """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2]."""
+    exp = prob.exp
+    if exp.isg is not None:
+        h0 = isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
+    else:
+        h0 = prob.h0
+    step = lambda h: pi_cell_step(params["cell"], h, exp.cell)
+    return rollout(step, h0, n_steps, remat=remat)
+
+
+def build_loss_fn(prob: Problem, n_steps: int):
+    """Composite loss per the experiment's weights; aux carries every
+    component plus 'val' (holdout data MSE) and 'phy' (residual metric)."""
+    exp = prob.exp
+    w = exp.loss_weights
+    system = PDE_SYSTEMS[exp.system]
+    nd = exp.cell.ndim
+
+    def loss_fn(params):
+        frames = forward_rollout(params, prob, n_steps)
+        total = jnp.zeros((), frames.dtype)
+        aux = {}
+        if "data" in w or prob.measurement is not None:
+            # measurement covers train_steps+1 frames; during curriculum the
+            # rollout is shorter — subsample measurement to match.
+            meas = prob.measurement
+            tr, va = data_loss(frames, meas[: _n_meas(frames.shape[0], exp.data)],
+                               exp.data, nd)
+            aux["data"] = tr
+            aux["val"] = va
+            if "data" in w:
+                total = total + w["data"] * tr
+        if exp.isg is not None:
+            out = isg_apply(params["isg"], prob.ic_low, exp.isg)
+            icl = ic_loss(out, prob.ic_low, nd, exp.interp_method)
+            aux["ic"] = icl
+            if "ic" in w:
+                total = total + w["ic"] * icl
+        pl = phys_loss(system, frames, exp.dt, exp.dx)
+        aux["phy"] = pl  # always computed: validation metric (train_2drd.py:404-406)
+        if "phy" in w:
+            total = total + w["phy"] * pl
+            aux.setdefault("val", pl)
+        return total, aux
+
+    return loss_fn
+
+
+def _n_meas(n_frames: int, dcfg: DataLossConfig) -> int:
+    t = list(range(n_frames))[slice(0, -1 if dcfg.drop_last_frame else None, dcfg.time_stride)]
+    return len(t)
+
+
+def build_isg_pretrain_loss(prob: Problem):
+    exp = prob.exp
+
+    def loss_fn(isg_params):
+        out = isg_apply(isg_params, prob.ic_low, exp.isg)
+        return ic_loss(out, prob.ic_low, exp.cell.ndim, exp.interp_method)
+
+    return loss_fn
+
+
+def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
+    """Inference rollout + rel-L2 vs clean truth (the reference's headline
+    accuracy metric)."""
+    frames = np.asarray(forward_rollout(params, prob, n_steps, remat=False))
+    t = min(frames.shape[0], prob.truth.shape[0])
+    return {
+        "rel_l2": rel_l2(frames[:t], prob.truth[:t]),
+        "rel_l2_u": rel_l2(frames[:t, ..., 0], prob.truth[:t, ..., 0]),
+        "rel_l2_v": rel_l2(frames[:t, ..., 1], prob.truth[:t, ..., 1]),
+        "frames": frames,
+    }
+
+
+def run_experiment(
+    exp: ExperimentConfig,
+    *,
+    out_dir: str = "runs",
+    cache_dir: str | None = "data_cache",
+    dtype=jnp.float32,
+    n_iters_override: int | None = None,
+    isg_pretrain_override: int | None = None,
+    warmup: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.metrics.jsonl"),
+                           echo_every=exp.train.log_every)
+    if warmup is None:
+        warmup = 100 if exp.system == "lambda_omega" else 0
+    truth = make_dataset(exp, warmup=warmup, cache_dir=cache_dir)
+    prob = setup_problem(exp, truth, dtype)
+    params = init_model(exp, jax.random.PRNGKey(seed), dtype)
+
+    if exp.isg is not None:
+        n_pre = isg_pretrain_override if isg_pretrain_override is not None else exp.isg_pretrain_iters
+        params["isg"] = pretrain_isg(
+            build_isg_pretrain_loss(prob), params["isg"], n_iters=n_pre, logger=logger
+        )
+
+    stages = list(exp.curriculum) + [exp.train_steps]
+    n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters
+    per_stage = max(1, n_total // len(stages))
+    history = []
+    for i, steps in enumerate(stages):
+        tcfg = dataclasses.replace(
+            exp.train,
+            n_iters=per_stage if i < len(stages) - 1 else n_total - per_stage * (len(stages) - 1),
+            ckpt_path=os.path.join(out_dir, f"{exp.name}.ckpt.npz"),
+            log_path=None,
+        )
+        loss_fn = build_loss_fn(prob, steps)
+        params, h = train(loss_fn, params, tcfg, logger=logger)
+        history.extend(h)
+
+    metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
+    logger.log(n_total, final_rel_l2=metrics["rel_l2"])
+    logger.close()
+    return {"params": params, "history": history, **metrics}

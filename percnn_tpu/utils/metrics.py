@@ -1,0 +1,54 @@
+"""Structured metrics: JSONL sink + evaluation metrics.
+
+Replaces the reference's print-only observability (train_2drd.py:413-419)
+with a structured per-step record the driver/plots can consume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def rel_l2(pred: np.ndarray, truth: np.ndarray) -> float:
+    """Relative L2 error — the reference's headline accuracy metric."""
+    pred = np.asarray(pred, np.float64)
+    truth = np.asarray(truth, np.float64)
+    return float(np.linalg.norm(pred - truth) / np.linalg.norm(truth))
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream (one dict per step)."""
+
+    def __init__(self, path: str | None = None, echo_every: int = 0):
+        self.path = path
+        self.echo_every = echo_every
+        self.history: list[dict] = []
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._f = open(path, "a", buffering=1)
+        else:
+            self._f = None
+
+    def log(self, step: int, **metrics) -> None:
+        rec = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            if isinstance(v, str) or np.ndim(v) != 0:
+                rec[k] = v
+            else:
+                rec[k] = float(v)
+        self.history.append(rec)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+        if self.echo_every and step % self.echo_every == 0:
+            msg = ", ".join(f"{k}={v:.3e}" if isinstance(v, float) else f"{k}={v}"
+                            for k, v in rec.items() if k != "time")
+            print(f"[{step}] {msg}")
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None

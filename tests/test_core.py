@@ -1,0 +1,176 @@
+"""Core tests: rollout semantics, remat gradient equivalence, Pi-cell math,
+ISG shape/parity, checkpoint round-trip, physics residual consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from percnn_tpu.core.cell import (
+    PiCellConfig,
+    SymbolicCellConfig,
+    init_pi_cell,
+    init_symbolic_cell,
+    pi_cell_step,
+    pi_block,
+    symbolic_cell_step,
+)
+from percnn_tpu.core.rollout import rollout, rollout_final, _pick_segment
+from percnn_tpu.core.isg import ISGConfig, init_isg, isg_apply
+from percnn_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+from percnn_tpu.core import losses
+from percnn_tpu.pde.systems import PDE_SYSTEMS, physics_residual
+from percnn_tpu.data.simulate import default_ic, simulate
+
+
+def test_pick_segment():
+    assert _pick_segment(400) == 20
+    assert _pick_segment(401) == 1  # prime-ish: falls back to small divisor
+    assert 400 % _pick_segment(400) == 0
+
+
+def test_rollout_includes_ic_and_matches_manual():
+    cfg = PiCellConfig(ndim=2, hidden=4, dt=0.01, dx=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 2))
+    frames = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 6, segment=2)
+    assert frames.shape == (7, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(frames[0]), np.asarray(h0))
+    h = h0
+    for i in range(6):
+        h = pi_cell_step(params, h, cfg)
+        np.testing.assert_allclose(np.asarray(frames[i + 1]), np.asarray(h), rtol=1e-6, atol=1e-6)
+    hf = rollout_final(lambda h: pi_cell_step(params, h, cfg), h0, 6)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(h), rtol=1e-6, atol=1e-6)
+
+
+def test_remat_gradients_match_no_remat():
+    cfg = PiCellConfig(ndim=2, hidden=4, dt=0.01, dx=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 2))
+
+    def loss(p, remat):
+        frames = rollout(lambda h: pi_cell_step(p, h, cfg), h0, 8, remat=remat, segment=4)
+        return jnp.mean(frames**2)
+
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    g2 = jax.grad(lambda p: loss(p, False))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        g1, g2,
+    )
+
+
+def test_pi_block_expresses_cubic_polynomial():
+    """With hand-set weights the Pi product-of-branches equals the explicit
+    polynomial (u+2v)(3u)(v+1)."""
+    cfg = PiCellConfig(ndim=2, hidden=1, kernel_size=1, n_branches=3)
+    branch = {
+        "w0": jnp.array([[1.0], [2.0]]),
+        "b0": jnp.array([0.0]),
+        "w1": jnp.array([[3.0], [0.0]]),
+        "b1": jnp.array([0.0]),
+        "w2": jnp.array([[0.0], [1.0]]),
+        "b2": jnp.array([1.0]),
+        "w_out": jnp.array([[1.0]]),
+        "b_out": jnp.array([0.0]),
+    }
+    h = jax.random.normal(jax.random.PRNGKey(2), (5, 5, 2))
+    u, v = h[..., 0], h[..., 1]
+    want = (u + 2 * v) * (3 * u) * (v + 1)
+    got = pi_block(branch, h, cfg)[..., 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_symbolic_cell_matches_true_pde_rhs():
+    """SymbolicCell with truth coefficients reproduces the Burgers rhs."""
+    cfg = SymbolicCellConfig(
+        ndim=2, dt=0.1, dx=0.3,
+        terms=(("u*u_x", "v*u_y"), ("u*v_x", "v*v_y")),
+        integrator="euler",
+    )
+    params = init_symbolic_cell(
+        jax.random.PRNGKey(0), cfg,
+        coef_init=[[-1.0, -1.0], [-1.0, -1.0]],
+        nu_init=[1 / 200, 1 / 200],
+    )
+    h = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (16, 16, 2))
+    got = symbolic_cell_step(params, h, cfg)
+    want = h + cfg.dt * PDE_SYSTEMS["burgers"].rhs(h, cfg.dx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_symbolic_rk4_consistency():
+    cfg_e = SymbolicCellConfig(ndim=2, dt=1e-3, dx=0.3, terms=(("u",), ("v",)), integrator="euler")
+    cfg_r = SymbolicCellConfig(ndim=2, dt=1e-3, dx=0.3, terms=(("u",), ("v",)), integrator="rk4")
+    params = init_symbolic_cell(jax.random.PRNGKey(0), cfg_e, coef_init=[[1.0], [1.0]], nu_init=[0.0, 0.0])
+    h = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 2))
+    e = symbolic_cell_step(params, h, cfg_e)
+    r = symbolic_cell_step(params, h, cfg_r)
+    # for dh/dt = h, both approximate h*exp(dt); RK4 is closer
+    exact = h * np.exp(1e-3)
+    assert jnp.abs(r - exact).max() < jnp.abs(e - exact).max()
+
+
+@pytest.mark.parametrize(
+    "cfg,low,high",
+    [
+        (ISGConfig(ndim=2, hidden=8, strides=(2, 2), activation="sigmoid"), 25, 100),
+        (ISGConfig(ndim=2, hidden=16, strides=(2,), activation="tanh"), 50, 100),
+        (ISGConfig(ndim=3, hidden=8, strides=(2, 1), activation="sigmoid"), 24, 48),
+    ],
+)
+def test_isg_shapes(cfg, low, high):
+    params = init_isg(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1,) + (low,) * cfg.ndim + (2,), jnp.float32)
+    y = isg_apply(params, x, cfg)
+    assert y.shape == (1,) + (high,) * cfg.ndim + (2,)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = PiCellConfig()
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    tree = {"params": params, "step": np.asarray(7)}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, tree, {"best_val": 0.5})
+    loaded, meta = load_checkpoint(p, tree)
+    assert meta["best_val"] == 0.5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), tree, loaded
+    )
+
+
+def test_physics_residual_vanishes_on_euler_rollout():
+    """An exact forward-Euler rollout of the true PDE has ~zero residual
+    under the matching forward-difference residual (design invariant of the
+    reference's staggered loss)."""
+    dt, dx = 0.0125, 0.2
+    h0 = jnp.asarray(default_ic("lambda_omega", 32), jnp.float64)
+    rhs = PDE_SYSTEMS["lambda_omega"].rhs
+
+    def step(h):
+        return h + dt * rhs(h, dx)
+
+    frames = rollout(step, h0, 10, remat=False)
+    r = physics_residual(PDE_SYSTEMS["lambda_omega"], frames, dt, dx)
+    assert float(jnp.abs(r).max()) < 1e-10
+
+
+def test_simulate_gray_scott_stays_bounded():
+    h0 = default_ic("gray_scott_2d", 48)
+    out = simulate("gray_scott_2d", h0, 50, dt=0.5, dx=0.01, oversample=2)
+    assert out.shape == (51, 48, 48, 2)
+    assert np.isfinite(out).all()
+    assert out[..., 0].min() > -0.1 and out[..., 0].max() < 1.5
+
+
+def test_data_loss_split_and_subsample():
+    T, n = 41, 16
+    roll = jnp.arange(T * n * n * 2, dtype=jnp.float32).reshape(T, n, n, 2)
+    cfg = losses.DataLossConfig(time_stride=4, space_stride=2, val_frac=0.1)
+    sub = losses.subsample(roll, cfg, 2)
+    assert sub.shape == (10, 8, 8, 2)
+    meas = sub + 1.0
+    tr, va = losses.data_loss(roll, meas, cfg, 2)
+    np.testing.assert_allclose(np.asarray(tr), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(va), 1.0, rtol=1e-6)

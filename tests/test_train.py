@@ -1,0 +1,127 @@
+"""Trainer tests: convergence, StepLR schedule, NaN watchdog, checkpoints,
+and a small end-to-end forward-sim slice."""
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from percnn_tpu.core.train import TrainConfig, train, pretrain_isg
+from percnn_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+from percnn_tpu.experiments.configs import FORWARD_SIM_LO, GS2D_RECON
+from percnn_tpu.experiments import runner as R
+from percnn_tpu.core.cell import PiCellConfig
+
+
+def test_train_quadratic_converges(tmp_path):
+    target = jnp.array([1.0, -2.0, 3.0])
+
+    def loss_fn(p):
+        l = jnp.sum((p["w"] - target) ** 2)
+        return l, {"val": l}
+
+    cfg = TrainConfig(n_iters=300, lr=0.1, lr_step=100, lr_gamma=0.9,
+                      ckpt_path=str(tmp_path / "q.npz"), ckpt_every=50)
+    params, hist = train(loss_fn, {"w": jnp.zeros(3)}, cfg)
+    assert hist[-1] < 1e-4
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(target), atol=1e-2)
+
+
+def test_watchdog_reloads_and_decays_lr(tmp_path):
+    """Loss returns NaN after iteration 60; watchdog must keep params finite
+    and shrink lr_scale."""
+    calls = {"n": 0}
+
+    def loss_fn(p):
+        l = jnp.sum(p["w"] ** 2)
+        # inject NaN via data: impossible inside jit — instead make loss
+        # blow up by huge lr? Simpler: depend on a counter via closure is
+        # not traceable. We instead make the loss genuinely produce NaN for
+        # large w (sqrt of negative).
+        l = l + jnp.sqrt(1.0 - jnp.sum(p["w"] ** 2)) * 0.0
+        return l, {"phy": jnp.where(jnp.sum(p["w"] ** 2) > 25.0, jnp.nan, l)}
+
+    # start far away and use big LR so w grows past the NaN threshold? Adam
+    # steps are bounded by lr; instead start inside the NaN region: watchdog
+    # triggers immediately, halving lr_scale until n_iters exhausted without
+    # crashing.
+    cfg = TrainConfig(n_iters=20, lr=1e-2, watchdog=True, watchdog_key="phy",
+                      ckpt_path=str(tmp_path / "w.npz"))
+    params, hist = train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg)
+    assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_resume_from_checkpoint(tmp_path):
+    target = jnp.array([2.0])
+
+    def loss_fn(p):
+        l = jnp.sum((p["w"] - target) ** 2)
+        return l, {}
+
+    ck = str(tmp_path / "r.npz")
+    cfg = TrainConfig(n_iters=50, lr=0.05, ckpt_path=ck, ckpt_every=10)
+    p1, _ = train(loss_fn, {"w": jnp.zeros(1)}, cfg)
+    # resume continues past iteration 50 to 80
+    cfg2 = dataclasses.replace(cfg, n_iters=80)
+    p2, hist2 = train(loss_fn, {"w": jnp.zeros(1)}, cfg2, resume=True)
+    assert len(hist2) == 30  # only the remaining iterations ran
+
+
+def test_best_val_policy(tmp_path):
+    """best_val returns the params with the lowest 'val', not the last."""
+    def loss_fn(p):
+        l = jnp.sum(p["w"] ** 2)
+        # val is worse when w is closer to 0 => best params are the earliest
+        return l, {"val": -l}
+
+    cfg = TrainConfig(n_iters=30, lr=0.1, best_val=True,
+                      ckpt_path=None)
+    params, _ = train(loss_fn, {"w": jnp.ones(2)}, cfg)
+    # earliest iterate (closest to initial w=1) should be kept
+    assert float(jnp.sum(params["w"] ** 2)) > 0.5
+
+
+def _tiny_lo_config():
+    exp = FORWARD_SIM_LO
+    cell = dataclasses.replace(exp.cell, hidden=4)
+    return dataclasses.replace(
+        exp, grid=32, train_steps=24, infer_steps=24, cell=cell,
+        train=dataclasses.replace(exp.train, n_iters=250, log_every=100),
+    )
+
+
+def test_forward_sim_lo_end_to_end(tmp_path):
+    """Minimum end-to-end slice (SURVEY §7 step 3): physics-only training on
+    a small lambda-omega problem must reduce the residual by orders of
+    magnitude and track the truth rollout."""
+    exp = _tiny_lo_config()
+    res = R.run_experiment(
+        exp, out_dir=str(tmp_path), cache_dir=None, dtype=jnp.float64,
+        warmup=40, seed=0,
+    )
+    hist = res["history"]
+    assert hist[-1] < hist[0] * 1e-2, (hist[0], hist[-1])
+    assert res["rel_l2"] < 0.5, res["rel_l2"]
+
+
+def test_gs2d_data_driven_smoke(tmp_path):
+    """Data-driven path (ISG + data/ic losses) runs and improves."""
+    exp = GS2D_RECON
+    exp = dataclasses.replace(
+        exp,
+        grid=32,
+        train_steps=40,
+        infer_steps=40,
+        curriculum=(),
+        cell=dataclasses.replace(exp.cell, hidden=4),
+        data=dataclasses.replace(exp.data, time_stride=10, space_stride=4),
+        train=dataclasses.replace(exp.train, n_iters=60, log_every=50),
+        isg_pretrain_iters=150,
+    )
+    res = R.run_experiment(exp, out_dir=str(tmp_path), cache_dir=None, seed=0)
+    hist = res["history"]
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0], (hist[0], hist[-1])

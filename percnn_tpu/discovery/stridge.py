@@ -1,0 +1,170 @@
+"""STRidge sparse regression (PDE-FIND family) with the reference's outer
+tolerance search, must-have column protection, and Pareto sweep.
+
+Algorithm parity with the reference trainer (Stage-2/PDE_FIND_u.py:8-182):
+- column p-norm normalisation in the outer wrapper (normalize=2),
+- random Bernoulli(split_ratio) train/holdout split, seed 0,
+- outer loop: start at tol=d_tol; accept tol if holdout
+  err_f + gamma*||w||_0 improves, then tol += d_tol; else back off
+  (tol = max(0, tol - 2 d_tol), d_tol = 2 d_tol / (maxit - iter)),
+- inner STRidge: ridge init (lstsq on X'X + lam I), iterative
+  threshold-at-tol + refit on surviving columns, `must_have` column never
+  dropped (Burgers keeps 'ones*lap_u' / index 5), final plain lstsq refit
+  on the support,
+- returned coefficients unnormalised via Mreg.
+
+This is a from-scratch implementation of the published algorithm — the
+structure (not the code) follows the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def _lstsq(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.linalg.lstsq(A, b, rcond=None)[0]
+
+
+def _ridge(X: np.ndarray, y: np.ndarray, lam: float) -> np.ndarray:
+    if lam == 0:
+        return _lstsq(X, y)
+    d = X.shape[1]
+    return _lstsq(X.T @ X + lam * np.eye(d), X.T @ y)
+
+
+def _stridge_inner(
+    X: np.ndarray,
+    y: np.ndarray,
+    lam: float,
+    n_iters: int,
+    tol: float,
+    must_have: int | None,
+) -> np.ndarray:
+    """Sequential threshold ridge on an already-normalised X."""
+    d = X.shape[1]
+    w = _ridge(X, y, lam)
+    biginds = list(np.where(np.abs(w) > tol)[0])
+    num_relevant = d
+    for j in range(n_iters):
+        smallinds = np.where(np.abs(w) < tol)[0]
+        new_biginds = [i for i in range(d) if i not in set(smallinds)]
+        if must_have is not None and must_have not in new_biginds:
+            new_biginds = sorted(new_biginds + [must_have])
+        if num_relevant == len(new_biginds):
+            break
+        num_relevant = len(new_biginds)
+        if not new_biginds:
+            if j == 0:
+                return w * 0.0
+            break
+        biginds = new_biginds
+        w[smallinds] = 0
+        w[biginds] = _ridge(X[:, biginds], y, lam)
+    if biginds:
+        w_final = np.zeros_like(w)
+        w_final[biginds] = _lstsq(X[:, biginds], y)
+        return w_final
+    return w
+
+
+@dataclasses.dataclass
+class STRidge:
+    """Outer tolerance-search wrapper over the sequential-threshold core."""
+
+    R0: np.ndarray                 # [n, d] raw design matrix
+    Ut: np.ndarray                 # [n, 1] targets
+    normalize: int = 2             # column p-norm (0 = off)
+    split_ratio: float = 0.8
+    seed: int = 0
+
+    def __post_init__(self):
+        n, d = self.R0.shape
+        if self.normalize != 0:
+            norms = np.linalg.norm(self.R0, self.normalize, axis=0)
+            self.Mreg = (1.0 / norms).reshape(d, 1)
+            R = self.R0 * self.Mreg.T
+        else:
+            self.Mreg = np.ones((d, 1))
+            R = self.R0
+        rng = np.random.RandomState(self.seed)
+        mask = rng.rand(n) < self.split_ratio
+        self.TrainR, self.TestR = R[mask], R[~mask]
+        self.TrainY, self.TestY = self.Ut[mask], self.Ut[~mask]
+
+    def train(
+        self,
+        maxit: int = 100,
+        stridge_iters: int = 40,
+        lam: float = 0.01,
+        d_tol: float = 20.0,
+        l0_penalty: float | None = None,
+        kappa: float = 1.0,
+        must_have: int | None = None,
+        verbose: bool = False,
+    ) -> np.ndarray:
+        """Returns the de-normalised coefficient vector [d, 1]."""
+        tol = d_tol
+        w_best = _lstsq(self.TrainR, self.TrainY)
+        err_f = float(np.mean((self.TestY - self.TestR @ w_best) ** 2))
+        if l0_penalty is None:
+            l0_penalty = kappa * err_f
+        err_best = err_f + l0_penalty * np.count_nonzero(w_best)
+
+        for it in range(maxit):
+            w = _stridge_inner(self.TrainR, self.TrainY, lam, stridge_iters, tol, must_have)
+            err_f = float(np.mean((self.TestY - self.TestR @ w) ** 2))
+            err = err_f + l0_penalty * np.count_nonzero(w)
+            if verbose:
+                print(f"iter {it}: tol={tol:.6f} err_f={err_f:.3e} nnz={np.count_nonzero(w)}")
+            if err <= err_best:
+                err_best, w_best = err, w
+                tol = tol + d_tol
+            else:
+                tol = max(0.0, tol - 2 * d_tol)
+                d_tol = 2 * d_tol / (maxit - it)
+                tol = tol + d_tol
+        return self.Mreg * w_best
+
+
+def discovery_metrics(w: np.ndarray, coef_true: np.ndarray) -> dict:
+    """Reference evaluation (PDE_FIND_u.py:269-274): coefficient rel-L2,
+    precision (identified terms that are true), recall (true terms found)."""
+    w = w.reshape(-1, 1)
+    coef_true = coef_true.reshape(-1, 1)
+    nz_w = np.count_nonzero(w)
+    nz_t = np.count_nonzero(coef_true)
+    both = np.count_nonzero(w * coef_true)
+    return {
+        "rel_l2": float(np.linalg.norm(w - coef_true) / np.linalg.norm(coef_true)),
+        "precision": float(both / nz_w) if nz_w else 0.0,
+        "recall": float(both / nz_t) if nz_t else 0.0,
+    }
+
+
+def pareto_sweep(
+    trainer: STRidge,
+    *,
+    gammas: np.ndarray | None = None,
+    maxit: int = 20,
+    stridge_iters: int = 20,
+    lam: float = 1e-4,
+    d_tol: float = 5.0,
+    must_have: int | None = None,
+):
+    """Sweep the l0 weight gamma = 0.01 * 1.2^i, i < 45 (LO stage-2
+    PDE_FIND_u.py:297-335); returns (gammas, ls_loss, l0_count, ws)."""
+    if gammas is None:
+        gammas = np.array([0.01 * 1.2**i for i in range(45)])
+    R_full = trainer.R0
+    y_full = trainer.Ut
+    ls_loss, l0_count, ws = [], [], []
+    for g in gammas:
+        w = trainer.train(maxit=maxit, stridge_iters=stridge_iters, lam=lam,
+                          d_tol=d_tol, kappa=float(g), must_have=must_have)
+        ws.append(w)
+        ls_loss.append(float(np.mean((y_full - R_full @ w) ** 2)))
+        l0_count.append(int(np.count_nonzero(w)))
+    return np.asarray(gammas), np.asarray(ls_loss), np.asarray(l0_count), ws

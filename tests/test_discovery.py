@@ -1,0 +1,134 @@
+"""Discovery pipeline tests: STRidge recovery on synthetic data, library
+assembly on true PDE rollouts (Burgers & lambda-omega coefficients must be
+recovered from clean simulations), symbolic extraction round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from percnn_tpu.data.simulate import default_ic, simulate
+from percnn_tpu.discovery.library import build_design_matrix
+from percnn_tpu.discovery.stridge import STRidge, discovery_metrics, pareto_sweep
+from percnn_tpu.discovery.symbolic import pi_block_expression, expression_coefficients
+from percnn_tpu.pde.terms import gen_library
+
+
+def test_library_ordering_and_must_have_index():
+    lib = gen_library()
+    assert len(lib) == 70
+    assert lib[5] == "ones*lap_u"   # must_have=5 (PDE_FIND_u.py:49)
+    assert lib[6] == "ones*lap_v"   # must_have=6 (PDE_FIND_v.py)
+    assert lib[0] == "ones*ones"
+
+
+def test_stridge_recovers_synthetic_sparse_coefficients():
+    rng = np.random.RandomState(3)
+    n, d = 4000, 30
+    X = rng.randn(n, d)
+    w_true = np.zeros((d, 1))
+    w_true[[2, 7, 19]] = [[1.5], [-0.8], [0.3]]
+    y = X @ w_true + 0.01 * rng.randn(n, 1)
+    tr = STRidge(X, y, normalize=2, split_ratio=0.8)
+    w = tr.train(maxit=50, stridge_iters=20, lam=1e-4, d_tol=2.0)
+    m = discovery_metrics(w, w_true)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+    assert m["rel_l2"] < 0.05, m
+
+
+def test_stridge_must_have_protection():
+    rng = np.random.RandomState(4)
+    n, d = 2000, 10
+    X = rng.randn(n, d)
+    w_true = np.zeros((d, 1))
+    w_true[0] = 2.0
+    w_true[5] = 1e-3   # tiny but must be kept
+    y = X @ w_true
+    tr = STRidge(X, y, normalize=2)
+    w = tr.train(maxit=30, stridge_iters=20, lam=1e-5, d_tol=5.0, must_have=5)
+    assert w[5] != 0.0
+
+
+@pytest.mark.parametrize(
+    "system,dt,dx,noise,stridge_kwargs,truth_terms",
+    [
+        # Burgers with 0.1% measurement noise, the reference's kappa path +
+        # must_have=5 ('ones*lap_u', PDE_FIND_u.py:49).
+        (
+            "burgers", 0.00025, 0.01, 0.001,
+            dict(maxit=50, stridge_iters=40, lam=0.01, d_tol=20, kappa=1.0,
+                 must_have=5),
+            {"ones*lap_u": 1 / 200, "u*u_x": -1.0, "v*u_y": -1.0},
+        ),
+        # lambda-omega on clean data with an explicit l0 penalty (on an
+        # exact simulation the holdout error is ~FD truncation, so the
+        # kappa-derived penalty would never reward pruning; the reference
+        # runs Stage-2 on imperfect Stage-1 reconstructions instead).
+        (
+            "lambda_omega", 0.0125, 0.2, 0.0,
+            dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5,
+                 l0_penalty=1e-6),
+            {"u*ones": 1.0, "ones*lap_u": 0.1, "u**3*ones": -1.0,
+             "u**2*v*ones": 1.0, "u*v**2*ones": -1.0, "v**3*ones": 1.0},
+        ),
+    ],
+)
+def test_discovery_on_simulation(system, dt, dx, noise, stridge_kwargs, truth_terms):
+    """End-to-end Stage-2 on an FD simulation of the true PDE: STRidge must
+    recover the governing u-equation with perfect precision/recall
+    (reference targets, BASELINE.md)."""
+    from percnn_tpu.data.noise import add_noise
+
+    n = 64
+    h0 = default_ic(system, n, seed=1)
+    warm = 40 if system == "lambda_omega" else 0
+    if warm:
+        h0 = simulate(system, h0, warm, dt, dx)[-1]
+    roll = simulate(system, h0, 60, dt, dx)
+    if noise:
+        roll = add_noise(roll, noise, seed=7)
+    lib = gen_library()
+    R, Ut, Vt, names = build_design_matrix(
+        roll, dt, dx, frames=slice(0, 60), subsample=0.2, seed=0
+    )
+    coef_true = np.zeros((len(lib), 1))
+    for t, c in truth_terms.items():
+        coef_true[lib.index(t)] = c
+    tr = STRidge(R, Ut, normalize=2, split_ratio=0.8)
+    w = tr.train(**stridge_kwargs)
+    m = discovery_metrics(w, coef_true)
+    assert m["recall"] == 1.0, (m, _nonzero(w, names))
+    assert m["precision"] == 1.0, (m, _nonzero(w, names))
+    assert m["rel_l2"] < 0.05, (m, _nonzero(w, names))
+
+
+def _nonzero(w, names):
+    return {n: float(c) for n, c in zip(names, w[:, 0]) if c != 0}
+
+
+def test_pareto_sweep_runs():
+    rng = np.random.RandomState(5)
+    X = rng.randn(500, 8)
+    w_true = np.zeros((8, 1))
+    w_true[1] = 1.0
+    y = X @ w_true + 0.01 * rng.randn(500, 1)
+    tr = STRidge(X, y)
+    gammas, ls, l0, ws = pareto_sweep(tr, gammas=np.array([0.01, 0.1, 1.0]), maxit=10)
+    assert len(ls) == 3 and (l0 >= 0).all()
+
+
+def test_symbolic_extraction_roundtrip():
+    """Hand-built Pi branch -> polynomial (u+1)(2u-v)(3v) expanded."""
+    branch = {
+        "w0": jnp.array([[1.0], [0.0]]), "b0": jnp.array([1.0]),
+        "w1": jnp.array([[2.0], [-1.0]]), "b1": jnp.array([0.0]),
+        "w2": jnp.array([[0.0], [3.0]]), "b2": jnp.array([0.0]),
+        "w_out": jnp.array([[1.0]]), "b_out": jnp.array([0.0]),
+    }
+    expr = pi_block_expression(branch)
+    coefs = expression_coefficients(expr)
+    # (u+1)(2u-v)(3v) = 6u^2 v - 3uv^2 + 6uv - 3v^2
+    want = {"u**2*v": 6.0, "u*v**2": -3.0, "u*v": 6.0, "v**2": -3.0}
+    got = {k: v for k, v in coefs.items() if abs(v) > 1e-9}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

@@ -1,0 +1,51 @@
+"""Pallas fused-kernel parity tests (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from percnn_tpu.core.cell import PiCellConfig, init_pi_cell, pi_cell_step
+from percnn_tpu.core.rollout import rollout
+from percnn_tpu.ops.pallas.cell2d import fused_rollout_2d, pad_state_2d, padded_dims
+
+
+def test_padded_dims():
+    assert padded_dims(100, 100) == (104, 128)
+    assert padded_dims(4, 4) == (8, 128)
+
+
+def test_pad_state_halos():
+    h0 = jnp.arange(4 * 6 * 2, dtype=jnp.float32).reshape(4, 6, 2)
+    s = pad_state_2d(h0)  # [2, Hp, Wp] channel-first
+    np.testing.assert_allclose(np.asarray(s[:, 2:6, 2:8]), np.asarray(jnp.moveaxis(h0, -1, 0)))
+    # top halo == bottom interior rows
+    np.testing.assert_allclose(np.asarray(s[:, 0:2, 2:8]), np.asarray(jnp.moveaxis(h0[2:4], -1, 0)))
+    # left halo == right interior cols
+    np.testing.assert_allclose(np.asarray(s[:, 2:6, 0:2]), np.asarray(jnp.moveaxis(h0[:, 4:6], -1, 0)))
+
+
+def _parity(cfg, H, W, steps, atol):
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (H, W, 2), jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, steps, remat=False)
+    got = fused_rollout_2d(params, h0, cfg, steps, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=atol)
+
+
+def test_fused_rollout_matches_jnp_gs_cfg():
+    cfg = PiCellConfig(ndim=2, hidden=8, kernel_size=1, dt=0.5, dx=0.01,
+                       diffusion="sigmoid", mu_up=3.99e-5, init_scale=0.02)
+    _parity(cfg, 20, 24, 7, atol=1e-5)
+
+
+def test_fused_rollout_matches_jnp_lo_cfg():
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.0125, dx=0.2,
+                       diffusion="raw", diff_init=0.2, init="fanin", init_scale=0.5)
+    _parity(cfg, 16, 16, 9, atol=1e-5)
+
+
+def test_fused_rollout_nonaligned_100():
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.1, dx=0.2,
+                       diffusion="raw", diff_init=0.05, init="fanin", init_scale=0.1)
+    _parity(cfg, 25, 33, 3, atol=1e-5)

@@ -102,6 +102,54 @@ def periodic_pad(u: jnp.ndarray, width: int, axes: Sequence[int]) -> jnp.ndarray
     return jnp.pad(u, pad, mode="wrap")
 
 
+# Valid-region variants (operate on an explicitly haloed block) -------------
+#
+# Used by the shard_map spatial-decomposition path: after a halo exchange the
+# local block is [*, h+2r, w+2r, C] and the stencil must NOT wrap locally —
+# it reads the halo and emits the interior.
+
+
+def _valid_slice(x: jnp.ndarray, offs: dict, axes: Sequence[int], halo: int):
+    sl = [slice(None)] * x.ndim
+    for ax in axes:
+        off = offs.get(ax, 0)
+        sl[ax] = slice(halo + off, x.shape[ax] - halo + off)
+    return x[tuple(sl)]
+
+
+def laplacian_valid(xp: jnp.ndarray, dx: float, axes: Sequence[int],
+                    halo: int = STENCIL_HALO) -> jnp.ndarray:
+    """4th-order Laplacian of a haloed block; output trimmed by `halo` on
+    each axis in `axes`."""
+    r = len(LAP_CROSS_1D) // 2
+    acc = None
+    for ax in axes:
+        for k, c in enumerate(LAP_CROSS_1D):
+            if c == 0.0:
+                continue
+            t = c * _valid_slice(xp, {ax: k - r}, axes, halo)
+            acc = t if acc is None else acc + t
+    return acc / (dx * dx)
+
+
+def grad_axis_valid(xp: jnp.ndarray, dx: float, axis: int, axes: Sequence[int],
+                    halo: int = STENCIL_HALO) -> jnp.ndarray:
+    """4th-order first derivative along `axis` of a haloed block."""
+    r = len(FD1_CENTRAL_1D) // 2
+    acc = None
+    for k, c in enumerate(FD1_CENTRAL_1D):
+        if c == 0.0:
+            continue
+        t = c * _valid_slice(xp, {axis: k - r}, axes, halo)
+        acc = t if acc is None else acc + t
+    return acc / dx
+
+
+def interior(xp: jnp.ndarray, axes: Sequence[int], halo: int = STENCIL_HALO) -> jnp.ndarray:
+    """Centre (un-shifted) interior of a haloed block."""
+    return _valid_slice(xp, {}, axes, halo)
+
+
 # Convenience wrappers for the library-native [..., H, W, C] layout ---------
 
 

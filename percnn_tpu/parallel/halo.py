@@ -1,0 +1,71 @@
+"""Periodic halo exchange over the device mesh (inside shard_map).
+
+The reference's periodic padding (torch.cat of edge slices,
+train_2drd.py:108-109) becomes, under spatial decomposition, a neighbour
+exchange over ICI: each device sends its edge strips around the ring with
+`lax.ppermute`; the ring's wrap-around IS the global periodic BC, so no
+special-casing of boundary devices is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _ring_perm(n: int, shift: int):
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def _exchange_axis(block: jnp.ndarray, array_axis: int, axis_name: str,
+                   axis_size: int, halo: int) -> jnp.ndarray:
+    """Return block extended by `halo` cells on both sides of `array_axis`,
+    filled from ring neighbours (or local wrap when the axis is unsharded)."""
+    lo = lax.slice_in_dim(block, 0, halo, axis=array_axis)
+    hi = lax.slice_in_dim(block, block.shape[array_axis] - halo,
+                          block.shape[array_axis], axis=array_axis)
+    if axis_size == 1:
+        recv_left, recv_right = hi, lo
+    else:
+        # my `hi` strip becomes my right neighbour's left halo
+        recv_left = lax.ppermute(hi, axis_name, _ring_perm(axis_size, 1))
+        recv_right = lax.ppermute(lo, axis_name, _ring_perm(axis_size, -1))
+    return jnp.concatenate([recv_left, block, recv_right], axis=array_axis)
+
+
+def halo_exchange_2d(
+    block: jnp.ndarray,
+    *,
+    halo: int = 2,
+    axis_names: tuple[str, str] = ("x", "y"),
+    axis_sizes: tuple[int, int],
+    array_axes: tuple[int, int] = (0, 1),
+) -> jnp.ndarray:
+    """[h, w, C] local block -> [h+2r, w+2r, C] haloed block.
+
+    Only edge strips are exchanged (cross stencils never read corners, see
+    ops/pallas/cell2d.py); the corner regions of the result contain strips
+    from the same-row/col neighbours and must not be read.
+    """
+    out = block
+    for arr_ax, name, size in zip(array_axes, axis_names, axis_sizes):
+        out = _exchange_axis(out, arr_ax, name, size, halo)
+    # After the second exchange the first axis' halos were extended too —
+    # exchange order means axis-1 strips of the already-extended axis-0
+    # halos travel along axis 1, which fills corners correctly as well.
+    return out
+
+
+def halo_exchange_3d(
+    block: jnp.ndarray,
+    *,
+    halo: int = 2,
+    axis_names: tuple[str, str, str] = ("x", "y", "z"),
+    axis_sizes: tuple[int, int, int],
+    array_axes: tuple[int, int, int] = (0, 1, 2),
+) -> jnp.ndarray:
+    out = block
+    for arr_ax, name, size in zip(array_axes, axis_names, axis_sizes):
+        out = _exchange_axis(out, arr_ax, name, size, halo)
+    return out

@@ -1,0 +1,146 @@
+"""Sharded execution: explicit shard_map rollout + GSPMD training helpers.
+
+Two complementary paths (SURVEY §2.3):
+
+1. `sharded_rollout_2d` — explicit domain decomposition: `shard_map` over a
+   ('x', 'y') mesh, each device scans its block locally, exchanging a
+   2-cell halo per step via `lax.ppermute` over ICI (parallel/halo.py).
+   Deterministic communication schedule, used for large-grid inference and
+   as the template for the multi-chip Pallas kernel.
+
+2. `make_train_step_spmd` / `shard_array` — GSPMD: the existing jnp model
+   runs under jit with NamedSharding'd inputs; XLA auto-partitions the
+   rolls/slices (inserting collective-permutes) and the psum for the loss
+   reduction.  This covers full training steps (ISG + rollout + losses +
+   BPTT) with zero model changes — the idiomatic JAX scaling recipe.
+
+Data parallelism composes on top: vmap the rollout/loss over a leading
+batch axis and shard that axis over a 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from percnn_tpu.core.cell import PiCellConfig, effective_diffusion, pi_block
+from percnn_tpu.core.rollout import rollout
+from percnn_tpu.ops.convs import conv_nd
+from percnn_tpu.ops.stencils import laplacian_valid
+from percnn_tpu.parallel.halo import halo_exchange_2d, halo_exchange_3d
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=check_rep)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=check_rep)
+
+
+def pi_cell_step_haloed(
+    params: dict,
+    block: jnp.ndarray,
+    cfg: PiCellConfig,
+    *,
+    axis_names: tuple,
+    axis_sizes: tuple,
+) -> jnp.ndarray:
+    """One Euler step on a local block [*local_spatial, C] with halo
+    exchange.  Works for 1x1 Pi cells (pointwise) and 5x5 Pi cells (the
+    exchanged corners make the haloed block valid for full kernels)."""
+    nd = cfg.ndim
+    axes = tuple(range(nd))
+    exchange = halo_exchange_2d if nd == 2 else halo_exchange_3d
+    xp = exchange(block, halo=2, axis_names=axis_names, axis_sizes=axis_sizes,
+                  array_axes=axes)
+    lap = laplacian_valid(xp, cfg.dx, axes=axes)
+    if cfg.kernel_size == 1:
+        nonlin = jnp.concatenate(
+            [pi_block(params["pi"][c], block, cfg) for c in range(cfg.channels)],
+            axis=-1,
+        )
+    else:
+        # 5x5 branches consume the halo via VALID conv on the haloed block
+        outs = []
+        for c in range(cfg.channels):
+            br = params["pi"][c]
+            prod = None
+            for i in range(cfg.n_branches):
+                y = conv_nd(xp, br[f"w{i}"], br[f"b{i}"], padding="VALID")
+                prod = y if prod is None else prod * y
+            outs.append(jnp.einsum("...i,io->...o", prod, br["w_out"]) + br["b_out"])
+        nonlin = jnp.concatenate(outs, axis=-1)
+    diff = effective_diffusion(params, cfg)
+    return block + cfg.dt * (diff * lap + nonlin)
+
+
+def sharded_rollout_2d(
+    params: dict,
+    h0: jnp.ndarray,
+    cfg: PiCellConfig,
+    n_steps: int,
+    mesh: Mesh,
+    *,
+    axis_names: tuple = ("x", "y"),
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Domain-decomposed rollout: h0 [H, W, 2] (sharded or global) ->
+    frames [n_steps+1, H, W, 2] sharded over (x, y)."""
+    sizes = tuple(mesh.shape[a] for a in axis_names)
+    state_spec = P(axis_names[0], axis_names[1], None)
+
+    def run(p, block):
+        step = lambda h: pi_cell_step_haloed(
+            p, h, cfg, axis_names=axis_names, axis_sizes=sizes
+        )
+        return rollout(step, block, n_steps, remat=remat)
+
+    fn = shard_map(
+        run, mesh,
+        in_specs=(P(), state_spec),
+        out_specs=P(None, *axis_names, None),
+    )
+    return fn(params, h0)
+
+
+def shard_array(x: jnp.ndarray, mesh: Mesh, spec: P) -> jnp.ndarray:
+    """Place an array with a NamedSharding (GSPMD input annotation)."""
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. params) across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_train_step_spmd(loss_fn, tx, mesh: Mesh):
+    """Jitted SPMD (GSPMD-partitioned) train step: sharding of every
+    intermediate follows from the input shardings.
+
+    loss_fn(params, batch) -> (loss, aux); batch arrays carry NamedShardings.
+    """
+
+    @jax.jit
+    def step(params, opt_state, batch, lr):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, total, aux
+
+    return step
+
+
+def sharded_train_step(loss_fn, tx, mesh: Mesh):
+    """Alias with the historical name used by callers/tests."""
+    return make_train_step_spmd(loss_fn, tx, mesh)

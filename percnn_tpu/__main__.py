@@ -1,0 +1,124 @@
+"""CLI: the reference's entry points were `python <script>.py` with constants
+in __main__ (SURVEY §1); here one CLI drives every experiment/pipeline.
+
+  python -m percnn_tpu run forward_sim_lo [--iters N] [--out DIR] [--x64]
+  python -m percnn_tpu pipeline burgers_stage1 [--stage1-iters N] ...
+  python -m percnn_tpu simulate gray_scott_2d --steps 500 --out gt.npz
+  python -m percnn_tpu list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="percnn_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="train one experiment")
+    pr.add_argument("experiment")
+    pr.add_argument("--iters", type=int, default=None)
+    pr.add_argument("--isg-iters", type=int, default=None)
+    pr.add_argument("--out", default="runs")
+    pr.add_argument("--cache", default="data_cache")
+    pr.add_argument("--x64", action="store_true")
+    pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--seed", type=int, default=0)
+
+    pp = sub.add_parser("pipeline", help="Stage-1/2/3 discovery pipeline")
+    pp.add_argument("experiment")
+    pp.add_argument("--stage1-iters", type=int, default=None)
+    pp.add_argument("--stage3-iters", type=int, default=None)
+    pp.add_argument("--out", default="runs/pipeline")
+    pp.add_argument("--cache", default="data_cache")
+    pp.add_argument("--cpu", action="store_true")
+    pp.add_argument("--seed", type=int, default=0)
+
+    ps = sub.add_parser("simulate", help="generate FD ground truth")
+    ps.add_argument("system")
+    ps.add_argument("--grid", type=int, default=100)
+    ps.add_argument("--steps", type=int, default=500)
+    ps.add_argument("--dt", type=float, required=True)
+    ps.add_argument("--dx", type=float, required=True)
+    ps.add_argument("--out", default="truth.npz")
+    ps.add_argument("--warmup", type=int, default=0)
+
+    sub.add_parser("list", help="list experiment configs")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from percnn_tpu.experiments import EXPERIMENTS
+
+        for name, exp in EXPERIMENTS.items():
+            print(f"{name:<18} system={exp.system:<14} grid={exp.grid} "
+                  f"dt={exp.dt} steps={exp.train_steps}")
+        return 0
+
+    import jax
+
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+
+    if args.cmd == "simulate":
+        import numpy as np
+        from percnn_tpu.data.simulate import default_ic, simulate
+        from percnn_tpu.data.io import save_npz
+
+        h0 = default_ic(args.system, args.grid)
+        if args.warmup:
+            h0 = simulate(args.system, h0, args.warmup, args.dt, args.dx)[-1]
+        truth = simulate(args.system, h0, args.steps, args.dt, args.dx)
+        save_npz(args.out, truth)
+        print(f"wrote {args.out}: {truth.shape}")
+        return 0
+
+    from percnn_tpu.experiments import EXPERIMENTS
+
+    exp = EXPERIMENTS[args.experiment]
+
+    if args.cmd == "run":
+        import jax.numpy as jnp
+        from percnn_tpu.experiments.runner import run_experiment
+
+        res = run_experiment(
+            exp, out_dir=args.out, cache_dir=args.cache,
+            dtype=jnp.float64 if args.x64 else jnp.float32,
+            n_iters_override=args.iters,
+            isg_pretrain_override=args.isg_iters,
+            seed=args.seed,
+        )
+        print(json.dumps({"experiment": exp.name, "rel_l2": res["rel_l2"],
+                          "final_loss": res["history"][-1]}))
+        return 0
+
+    if args.cmd == "pipeline":
+        from percnn_tpu.experiments.pipeline import run_discovery_pipeline
+
+        res = run_discovery_pipeline(
+            exp, out_dir=args.out, cache_dir=args.cache,
+            stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
+            seed=args.seed,
+        )
+        ident_u = {n: float(c) for n, c in
+                   zip(res["stage2"]["names"], res["stage2"]["w_u"][:, 0]) if c != 0}
+        ident_v = {n: float(c) for n, c in
+                   zip(res["stage2"]["names"], res["stage2"]["w_v"][:, 0]) if c != 0}
+        print(json.dumps({
+            "experiment": exp.name,
+            "stage1_rel_l2": res["stage1"]["rel_l2"],
+            "stage2_u": ident_u,
+            "stage2_v": ident_v,
+            "stage3_rel_l2": res["stage3"]["rel_l2"],
+        }, indent=2))
+        print(res["stage3"]["coef_table"])
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

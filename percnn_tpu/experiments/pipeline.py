@@ -1,0 +1,128 @@
+"""The full three-stage discovery pipeline:
+
+  Stage-1  data-driven reconstruction (Pi-cell + ISG)  -> high-res rollout
+  Stage-2  STRidge sparse regression over the 70-term library -> sparse PDE
+  Stage-3  symbolic fine-tune of the identified coefficients
+
+The reference runs these as three separate scripts with a .mat artifact
+handoff and hand-pasted coefficients (SURVEY §3.3); here one call chains
+them, with the artifacts still written out for inspection/compat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from percnn_tpu.core.cell import SymbolicCellConfig
+from percnn_tpu.core.train import TrainConfig
+from percnn_tpu.data.io import save_npz
+from percnn_tpu.discovery.library import build_design_matrix
+from percnn_tpu.discovery.stridge import STRidge, discovery_metrics
+from percnn_tpu.experiments.configs import ExperimentConfig
+from percnn_tpu.experiments.runner import make_dataset, run_experiment
+from percnn_tpu.experiments.stage3 import Stage3Config, run_stage3
+from percnn_tpu.pde.terms import gen_library
+
+
+def identified_to_symbolic(
+    w_u: np.ndarray,
+    w_v: np.ndarray,
+    names: list[str],
+    *,
+    dt: float,
+    dx: float,
+    integrator: str = "euler",
+) -> tuple[SymbolicCellConfig, tuple, tuple]:
+    """STRidge outputs -> (SymbolicCellConfig, coef_init, nu_init).
+
+    The pure-diffusion columns ('ones*lap_u' for eq u, 'ones*lap_v' for
+    eq v) become the cell's nu; every other nonzero column becomes a term
+    with its coefficient as init — the reference does this by hand
+    (fine_tuning_[5%...].py:123-130)."""
+    def split(w, lap_name):
+        terms, coefs, nu = [], [], 0.0
+        for n, c in zip(names, np.asarray(w).ravel()):
+            if c == 0.0:
+                continue
+            if n == lap_name:
+                nu = float(c)
+            else:
+                terms.append(n)
+                coefs.append(float(c))
+        return tuple(terms), tuple(coefs), nu
+
+    tu, cu, nu_u = split(w_u, "ones*lap_u")
+    tv, cv, nu_v = split(w_v, "ones*lap_v")
+    cell = SymbolicCellConfig(ndim=2, dt=dt, dx=dx, terms=(tu, tv),
+                              integrator=integrator, diffusion="raw")
+    return cell, (cu, cv), (nu_u, nu_v)
+
+
+def run_discovery_pipeline(
+    exp: ExperimentConfig,
+    *,
+    out_dir: str = "runs/pipeline",
+    cache_dir: str | None = "data_cache",
+    stage1_iters: int | None = None,
+    stage2_frames: slice = slice(50, 150),
+    stage2_kwargs: dict | None = None,
+    stage3_iters: int | None = None,
+    truth_terms: dict | None = None,
+    dtype=None,
+    seed: int = 0,
+) -> dict:
+    """Stage-1 -> Stage-2 -> Stage-3 on one experiment config."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- Stage 1: reconstruction --------------------------------------
+    s1 = run_experiment(exp, out_dir=out_dir, cache_dir=cache_dir, dtype=dtype,
+                        n_iters_override=stage1_iters, seed=seed)
+    recon = s1["frames"]  # [T+1, H, W, 2]
+    save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
+
+    # ---- Stage 2: sparse regression -----------------------------------
+    lib = gen_library()
+    kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0, kappa=1.0)
+    kw.update(stage2_kwargs or {})
+    frames = stage2_frames
+    if frames.stop > recon.shape[0]:
+        frames = slice(0, recon.shape[0])
+    R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx, frames=frames,
+                                           subsample=0.2, seed=seed)
+    w_u = STRidge(R, Ut).train(must_have=5, **kw)
+    w_v = STRidge(R, Vt).train(must_have=6, **kw)
+    s2 = {"w_u": w_u, "w_v": w_v, "names": names}
+    if truth_terms:
+        coef_true_u = np.zeros((len(lib), 1))
+        for t, c in truth_terms.get("u", {}).items():
+            coef_true_u[lib.index(t)] = c
+        s2["metrics_u"] = discovery_metrics(w_u, coef_true_u)
+        coef_true_v = np.zeros((len(lib), 1))
+        for t, c in truth_terms.get("v", {}).items():
+            coef_true_v[lib.index(t)] = c
+        s2["metrics_v"] = discovery_metrics(w_v, coef_true_v)
+    np.savez(os.path.join(out_dir, f"{exp.name}.stage2_coefs.npz"),
+             w_u=w_u, w_v=w_v, names=np.asarray(names))
+
+    # ---- Stage 3: symbolic fine-tune ----------------------------------
+    cell, coef_init, nu_init = identified_to_symbolic(
+        w_u, w_v, names, dt=exp.dt, dx=exp.dx
+    )
+    s3cfg = Stage3Config(
+        base=exp, cell=cell, coef_init=coef_init, nu_init=nu_init,
+        truth_coef=None,
+        train=TrainConfig(n_iters=stage3_iters or 1000, lr=5e-4, lr_step=100,
+                          lr_gamma=0.95, best_val=True),
+    )
+    truth = make_dataset(exp, warmup=100 if exp.system == "lambda_omega" else 0,
+                         cache_dir=cache_dir)
+    s3 = run_stage3(s3cfg, truth, out_dir=out_dir, dtype=dtype,
+                    n_iters_override=stage3_iters, seed=seed)
+
+    return {"stage1": s1, "stage2": s2, "stage3": s3, "symbolic_cell": cell}

@@ -1,0 +1,119 @@
+"""Stage-3 fine-tune + full pipeline + I/O + viz + CLI smoke tests."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from percnn_tpu.data.io import load_mat_uv, save_mat_uv, save_npz, load_npz
+from percnn_tpu.data.simulate import default_ic, simulate
+from percnn_tpu.experiments.configs import BURGERS_STAGE1
+from percnn_tpu.experiments.stage3 import burgers_stage3, lambda_omega_stage3, run_stage3, show_coef
+from percnn_tpu.experiments.pipeline import identified_to_symbolic
+from percnn_tpu.pde.terms import gen_library
+
+
+def _small_burgers():
+    exp = BURGERS_STAGE1
+    return dataclasses.replace(
+        exp, grid=32, train_steps=40, infer_steps=40,
+        data=dataclasses.replace(exp.data, time_stride=5, space_stride=2),
+        noise_pct=0.01,
+    )
+
+
+def test_stage3_finetune_converges_to_truth_coefs(tmp_path):
+    """Starting near the identified values, Stage-3 must keep/refine
+    coefficients close to truth and fit the data."""
+    exp = _small_burgers()
+    truth = simulate("burgers", default_ic("burgers", 32, seed=1), 40,
+                     exp.dt, exp.dx)
+    cfg = burgers_stage3(exp, coef_init=((-0.95, -0.97), (-0.96, -0.98)),
+                         nu_init=(0.0048, 0.0052))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, n_iters=150, log_every=100))
+    res = run_stage3(cfg, truth, out_dir=str(tmp_path), isg_pretrain_iters=200)
+    assert np.isfinite(res["history"]).all()
+    assert res["history"][-1] < res["history"][0]
+    assert res["rel_l2"] < 0.5
+    table = res["coef_table"]
+    assert "u*u_x" in table and "lap" in table
+    # The advection coefficients must stay near truth.  nu (diffusion) is
+    # weakly identifiable at this toy scale (nu*Lap(u) is ~1e-3 of the
+    # advection magnitude over 40 steps at 32^2), so it is not asserted
+    # here — the full-size parity runs check it.
+    adv = {k: v for k, v in res["coef_errors"].items() if not k.startswith("nu")}
+    assert max(adv.values()) < 0.15, res["coef_errors"]
+
+
+def test_lambda_omega_stage3_config_shape():
+    exp = _small_burgers()
+    cfg = lambda_omega_stage3(exp)
+    assert len(cfg.cell.terms[0]) == 5 and len(cfg.cell.terms[1]) == 5
+    assert cfg.truth_coef[0]["lap"] == 0.1
+
+
+def test_identified_to_symbolic_mapping():
+    lib = gen_library()
+    w_u = np.zeros((70, 1))
+    w_v = np.zeros((70, 1))
+    w_u[lib.index("ones*lap_u")] = 0.0051
+    w_u[lib.index("u*u_x")] = -0.98
+    w_u[lib.index("v*u_y")] = -0.99
+    w_v[lib.index("ones*lap_v")] = 0.0049
+    w_v[lib.index("u*v_x")] = -0.97
+    cell, coef_init, nu_init = identified_to_symbolic(w_u, w_v, lib, dt=1e-3, dx=0.01)
+    assert cell.terms == (("u*u_x", "v*u_y"), ("u*v_x",))
+    assert coef_init == ((-0.98, -0.99), (-0.97,))
+    assert nu_init == (0.0051, 0.0049)
+
+
+def test_mat_roundtrip(tmp_path):
+    roll = np.random.RandomState(0).randn(5, 8, 9, 2).astype(np.float32)
+    p = str(tmp_path / "uv.mat")
+    save_mat_uv(p, roll)
+    back = load_mat_uv(p)
+    np.testing.assert_allclose(back, roll)
+    # reference channel-first layout too
+    import scipy.io as sio
+    sio.savemat(str(tmp_path / "cf.mat"), {"uv": np.moveaxis(roll, -1, 0)})
+    back2 = load_mat_uv(str(tmp_path / "cf.mat"))
+    np.testing.assert_allclose(back2, roll)
+
+
+def test_npz_roundtrip(tmp_path):
+    roll = np.random.RandomState(0).randn(3, 4, 4, 2)
+    p = str(tmp_path / "uv.npz")
+    save_npz(p, roll)
+    np.testing.assert_allclose(load_npz(p), roll)
+
+
+def test_viz_panels(tmp_path):
+    pytest.importorskip("matplotlib")
+    from percnn_tpu.viz.plots import comparison_panel, save_isosurface_html
+
+    rng = np.random.RandomState(0)
+    pred, truth = rng.randn(16, 16, 2), rng.randn(16, 16, 2)
+    p = str(tmp_path / "panel.png")
+    comparison_panel(pred, truth, p)
+    assert os.path.getsize(p) > 0
+    q = str(tmp_path / "iso.html")
+    save_isosurface_html(rng.randn(8, 8, 8), q)
+    assert os.path.exists(q) or os.path.exists(q.replace(".html", ".png"))
+
+
+def test_cli_list_and_simulate(tmp_path, capsys):
+    from percnn_tpu.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "forward_sim_lo" in out and "gs3d_recon" in out
+
+    p = str(tmp_path / "gt.npz")
+    assert main(["simulate", "gray_scott_2d", "--grid", "24", "--steps", "5",
+                 "--dt", "0.5", "--dx", "0.01", "--out", p]) == 0
+    assert load_npz(p).shape == (6, 24, 24, 2)

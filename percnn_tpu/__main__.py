@@ -27,6 +27,8 @@ def main(argv=None):
     pr.add_argument("--x64", action="store_true")
     pr.add_argument("--cpu", action="store_true")
     pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--steps-per-call", type=int, default=None,
+                    help="fuse K optimizer steps per device call (remote TPU)")
 
     pp = sub.add_parser("pipeline", help="Stage-1/2/3 discovery pipeline")
     pp.add_argument("experiment")
@@ -91,6 +93,7 @@ def main(argv=None):
             dtype=jnp.float64 if args.x64 else jnp.float32,
             n_iters_override=args.iters,
             isg_pretrain_override=args.isg_iters,
+            steps_per_call=args.steps_per_call,
             seed=args.seed,
         )
         print(json.dumps({"experiment": exp.name, "rel_l2": res["rel_l2"],

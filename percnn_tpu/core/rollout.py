@@ -81,3 +81,89 @@ def rollout_final(step_fn, h0, n_steps: int) -> jnp.ndarray:
 
     h, _ = jax.lax.scan(body, h0, None, length=n_steps)
     return h
+
+
+# --------------------------------------------------------------------------
+# Two-phase BPTT: a TPU-native backward pass for the recurrence.
+#
+# Naive BPTT (what remat gives) interleaves, per step, the state-Jacobian
+# transpose AND the parameter-gradient accumulation inside one sequential
+# scan.  But only the state cotangent is sequential; parameter gradients are
+# a sum of independent per-step terms.  So:
+#   phase 1 (sequential): reverse scan computing state cotangents g_t only;
+#   phase 2 (parallel):   batched-over-time vjp computing per-step parameter
+#                         gradients from (h_t, g_{t+1}), chunked to bound
+#                         memory, summed.
+# Phase 2 vectorises over T into large fused batched ops (MXU-friendly for
+# the Pi channel matmuls) instead of T tiny sequential ones.
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def rollout_tp(step_fn, params, h0, n_steps: int, pgrad_chunk: int = 64):
+    """Differentiable rollout with the two-phase backward.
+
+    step_fn: (params, h) -> h_next (pure).
+    Returns [n_steps+1, *h0.shape] (frame 0 = h0).
+    """
+    def body(h, _):
+        h2 = step_fn(params, h)
+        return h2, h2
+
+    _, frames = jax.lax.scan(body, h0, None, length=n_steps)
+    return jnp.concatenate([h0[None], frames], axis=0)
+
+
+def _rollout_tp_fwd(step_fn, params, h0, n_steps, pgrad_chunk):
+    frames = rollout_tp(step_fn, params, h0, n_steps, pgrad_chunk)
+    return frames, (params, frames)
+
+
+def _rollout_tp_bwd(step_fn, n_steps, pgrad_chunk, residuals, frames_bar):
+    params, frames = residuals
+    h_prev = frames[:-1]          # h_t for t in [0, n_steps)
+
+    # ---- phase 1: sequential state-cotangent sweep (reverse time) ----
+    def p1_body(gbar, x):
+        h_t, fbar_next = x
+        g_in = gbar + fbar_next    # cotangent arriving at h_{t+1}
+        _, vjp_h = jax.vjp(lambda h: step_fn(params, h), h_t)
+        (gbar_prev,) = vjp_h(g_in)
+        return gbar_prev, g_in
+
+    g_T = jnp.zeros_like(frames[0])
+    gbar0, g_ins = jax.lax.scan(
+        p1_body, g_T, (h_prev, frames_bar[1:]), reverse=True
+    )
+    h0_bar = gbar0 + frames_bar[0]
+
+    # ---- phase 2: time-batched parameter gradients, chunked ----
+    def pgrad(h_t, g_in):
+        _, vjp_p = jax.vjp(lambda p: step_fn(p, h_t), params)
+        return vjp_p(g_in)[0]
+
+    chunk = min(pgrad_chunk, n_steps)
+    n_chunks = -(-n_steps // chunk)
+    pad = n_chunks * chunk - n_steps
+    if pad:
+        h_pad = jnp.concatenate([h_prev, jnp.zeros((pad,) + h_prev.shape[1:],
+                                                   h_prev.dtype)])
+        g_pad = jnp.concatenate([g_ins, jnp.zeros((pad,) + g_ins.shape[1:],
+                                                  g_ins.dtype)])
+    else:
+        h_pad, g_pad = h_prev, g_ins
+    h_c = h_pad.reshape((n_chunks, chunk) + h_prev.shape[1:])
+    g_c = g_pad.reshape((n_chunks, chunk) + g_ins.shape[1:])
+
+    def p2_body(acc, x):
+        h_b, g_b = x
+        pg = jax.vmap(pgrad)(h_b, g_b)
+        pg_sum = jax.tree_util.tree_map(lambda a: a.sum(0), pg)
+        return jax.tree_util.tree_map(jnp.add, acc, pg_sum), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    params_bar, _ = jax.lax.scan(p2_body, zero, (h_c, g_c))
+    return params_bar, h0_bar
+
+
+rollout_tp.defvjp(_rollout_tp_fwd, _rollout_tp_bwd)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+from functools import partial
 from typing import Callable
 
 import numpy as np
@@ -44,6 +45,10 @@ class TrainConfig:
     watchdog_key: str = "phy"
     log_path: str | None = None
     log_every: int = 50
+    steps_per_call: int = 1   # optimizer steps fused per device call: the
+                              # StepLR staircase runs in-graph so K steps
+                              # cost one host<->device round trip (the
+                              # tunneled dev TPU has ~30ms RPC latency)
 
 
 class TrainState:
@@ -96,13 +101,25 @@ def train(
         state.opt_state = tree["opt_state"]
         state.load_meta(meta)
 
-    @jax.jit
-    def step(params, opt_state, lr):
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, total, aux
+    @partial(jax.jit, static_argnames=("n_sub",))
+    def chunk(params, opt_state, it0, lr_scale, n_sub):
+        """n_sub fused optimizer steps; StepLR staircase evaluated in-graph."""
+
+        def body(carry, i):
+            params, opt_state = carry
+            it = it0 + i
+            lr = cfg.lr * jnp.power(cfg.lr_gamma, (it // cfg.lr_step)
+                                    .astype(jnp.float32)) * lr_scale
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (total, aux, lr)
+
+        (params, opt_state), (totals, auxs, lrs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_sub)
+        )
+        return params, opt_state, totals, auxs, lrs
 
     own_logger = logger is None
     if own_logger:
@@ -118,39 +135,45 @@ def train(
     try:
         while state.iteration < cfg.n_iters:
             it = state.iteration
-            lr = cfg.lr * (cfg.lr_gamma ** (it // cfg.lr_step)) * state.lr_scale
-            new_params, new_opt, total, aux = step(state.params, state.opt_state, lr)
-            total_f = float(total)
-            watch = float(aux.get(cfg.watchdog_key, total)) if cfg.watchdog else total_f
+            n_sub = min(cfg.steps_per_call, cfg.n_iters - it)
+            new_params, new_opt, totals, auxs, lrs = chunk(
+                state.params, state.opt_state, jnp.int32(it),
+                jnp.float32(state.lr_scale), n_sub,
+            )
+            totals = np.asarray(totals)
+            auxs = {k: np.asarray(v) for k, v in auxs.items()}
+            watch = auxs.get(cfg.watchdog_key, totals) if cfg.watchdog else totals
 
-            if cfg.watchdog and (math.isnan(watch) or math.isnan(total_f)):
-                # reference watchdog: reload last checkpoint, LR *= 0.9
-                # (train_3drd.py:427-434)
+            if cfg.watchdog and (np.isnan(watch).any() or np.isnan(totals).any()):
+                # reference watchdog: reload last checkpoint, LR *= 0.9,
+                # retry (train_3drd.py:427-434)
                 state.lr_scale *= 0.9
                 if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
                     tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
                     state.params = tree["params"]
                     state.opt_state = tree["opt_state"]
                 logger.log(it, event="nan_watchdog", lr_scale=state.lr_scale)
-                state.iteration += 1
+                state.iteration += n_sub
                 continue
 
             state.params, state.opt_state = new_params, new_opt
-            state.iteration += 1
-            history.append(total_f)
+            state.iteration += n_sub
+            history.extend(totals.tolist())
 
-            if it % cfg.log_every == 0 or it == cfg.n_iters - 1:
-                logger.log(it, loss=total_f, lr=lr,
-                           **{k: float(v) for k, v in aux.items()})
+            last = state.iteration - 1
+            if (it // max(1, cfg.log_every)) != (state.iteration // max(1, cfg.log_every)) \
+                    or state.iteration >= cfg.n_iters:
+                logger.log(last, loss=float(totals[-1]), lr=float(np.asarray(lrs)[-1]),
+                           **{k: float(v[-1]) for k, v in auxs.items()})
 
-            val = float(aux.get(cfg.val_key, np.nan))
+            val = float(auxs.get(cfg.val_key, [np.nan])[-1])
             if cfg.best_val and not math.isnan(val) and val < state.best_val:
                 state.best_val = val
                 best_params = state.params
                 save(".best")
 
-            if cfg.ckpt_path and (state.iteration % cfg.ckpt_every == 0
-                                  or state.iteration == cfg.n_iters):
+            if cfg.ckpt_path and (state.iteration % cfg.ckpt_every < n_sub
+                                  or state.iteration >= cfg.n_iters):
                 save()
     finally:
         if own_logger:

@@ -10,6 +10,7 @@ implementation:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from functools import partial
 
@@ -27,7 +28,7 @@ from percnn_tpu.core.cell import (
 )
 from percnn_tpu.core.isg import init_isg, isg_apply
 from percnn_tpu.core.losses import DataLossConfig, data_loss, ic_loss, phys_loss, mse
-from percnn_tpu.core.rollout import rollout
+from percnn_tpu.core.rollout import rollout, rollout_tp
 from percnn_tpu.core.train import TrainConfig, pretrain_isg, train
 from percnn_tpu.data.noise import add_noise
 from percnn_tpu.data.simulate import default_ic, simulate
@@ -100,15 +101,30 @@ def init_model(exp: ExperimentConfig, key, dtype=jnp.float32) -> dict:
     return params
 
 
-def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True):
-    """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2]."""
+def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
+                    bptt: str = "two_phase"):
+    """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2].
+
+    bptt='two_phase' uses the custom-VJP backward (sequential state sweep +
+    time-batched param grads, core/rollout.py); 'remat' uses segmented
+    jax.checkpoint through the scan.
+    """
     exp = prob.exp
     if exp.isg is not None:
         h0 = isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
     else:
         h0 = prob.h0
+    if bptt == "two_phase":
+        return rollout_tp(_cell_step_for(exp.cell), params["cell"], h0, n_steps)
     step = lambda h: pi_cell_step(params["cell"], h, exp.cell)
     return rollout(step, h0, n_steps, remat=remat)
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_step_for(cell_cfg):
+    """Stable (hashable-config-keyed) step closure so custom_vjp/jit caches
+    hit across trainer steps."""
+    return lambda p, h: pi_cell_step(p, h, cell_cfg)
 
 
 def build_loss_fn(prob: Problem, n_steps: int):
@@ -186,6 +202,7 @@ def run_experiment(
     n_iters_override: int | None = None,
     isg_pretrain_override: int | None = None,
     warmup: int | None = None,
+    steps_per_call: int | None = None,
     seed: int = 0,
 ) -> dict:
     """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval."""
@@ -214,6 +231,7 @@ def run_experiment(
             n_iters=per_stage if i < len(stages) - 1 else n_total - per_stage * (len(stages) - 1),
             ckpt_path=os.path.join(out_dir, f"{exp.name}.ckpt.npz"),
             log_path=None,
+            **({"steps_per_call": steps_per_call} if steps_per_call else {}),
         )
         loss_fn = build_loss_fn(prob, steps)
         params, h = train(loss_fn, params, tcfg, logger=logger)

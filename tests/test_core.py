@@ -61,6 +61,34 @@ def test_remat_gradients_match_no_remat():
     )
 
 
+def test_two_phase_bptt_matches_autodiff():
+    """rollout_tp custom-VJP gradients == plain autodiff through the scan."""
+    from percnn_tpu.core.rollout import rollout_tp
+
+    cfg = PiCellConfig(ndim=2, hidden=4, dt=0.01, dx=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 2))
+    step = lambda p, h: pi_cell_step(p, h, cfg)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (11, 8, 8, 2))
+
+    def loss_tp(p, h):
+        return jnp.mean((rollout_tp(step, p, h, 10, 4) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        return jnp.mean((rollout(lambda x: step(p, x), h, 10, remat=False) - tgt) ** 2)
+
+    l1 = loss_tp(params, h0)
+    l2 = loss_ref(params, h0)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    g1 = jax.grad(loss_tp, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-8),
+        g1, g2,
+    )
+
+
 def test_pi_block_expresses_cubic_polynomial():
     """With hand-set weights the Pi product-of-branches equals the explicit
     polynomial (u+2v)(3u)(v+1)."""

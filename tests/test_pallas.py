@@ -49,3 +49,27 @@ def test_fused_rollout_nonaligned_100():
     cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.1, dx=0.2,
                        diffusion="raw", diff_init=0.05, init="fanin", init_scale=0.1)
     _parity(cfg, 25, 33, 3, atol=1e-5)
+
+
+def test_fused_rollout_3d_matches_jnp():
+    from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
+
+    cfg = PiCellConfig(ndim=3, hidden=2, kernel_size=1, dt=0.5, dx=2.08,
+                       diffusion="sigmoid", mu_up=0.274, init_scale=0.01)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 16, 2), jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 5, remat=False)
+    got = fused_rollout_3d(params, h0, cfg, 5, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+
+def test_fused_rollout_3d_rejects_unaligned():
+    from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
+
+    cfg = PiCellConfig(ndim=3, hidden=2, kernel_size=1, dt=0.5, dx=2.08)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = jnp.zeros((7, 8, 16, 2), jnp.float32)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fused_rollout_3d(params, h0, cfg, 2, interpret=True)

@@ -29,6 +29,8 @@ def main(argv=None):
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--steps-per-call", type=int, default=None,
                     help="fuse K optimizer steps per device call (remote TPU)")
+    pr.add_argument("--resume", action="store_true",
+                    help="resume from the experiment checkpoint")
 
     pp = sub.add_parser("pipeline", help="Stage-1/2/3 discovery pipeline")
     pp.add_argument("experiment")
@@ -94,6 +96,7 @@ def main(argv=None):
             n_iters_override=args.iters,
             isg_pretrain_override=args.isg_iters,
             steps_per_call=args.steps_per_call,
+            resume=args.resume,
             seed=args.seed,
         )
         print(json.dumps({"experiment": exp.name, "rel_l2": res["rel_l2"],

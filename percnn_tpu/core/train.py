@@ -189,21 +189,33 @@ def pretrain_isg(
     n_iters: int = 4000,
     lr: float = 0.02,
     log_every: int = 500,
+    steps_per_call: int = 100,
     logger: MetricsLogger | None = None,
 ):
     """Pre-fit the ISG alone against the interpolated IC (reference
-    pretrain_upscaler, train_2drd.py:355-372: Adam lr 0.02)."""
+    pretrain_upscaler, train_2drd.py:355-372: Adam lr 0.02).  The loop is
+    chunked (steps_per_call fused per device call)."""
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(isg_loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    @partial(jax.jit, static_argnames=("n_sub",))
+    def chunk(params, opt_state, n_sub):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(isg_loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
-    for it in range(n_iters):
-        params, opt_state, loss = step(params, opt_state)
-        if logger and it % log_every == 0:
-            logger.log(it, isg_loss=float(loss))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_sub
+        )
+        return params, opt_state, losses
+
+    it = 0
+    while it < n_iters:
+        n_sub = min(steps_per_call, n_iters - it)
+        params, opt_state, losses = chunk(params, opt_state, n_sub)
+        it += n_sub
+        if logger and (it % log_every < n_sub or it >= n_iters):
+            logger.log(it - 1, isg_loss=float(np.asarray(losses)[-1]))
     return params

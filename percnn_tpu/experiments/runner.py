@@ -180,10 +180,34 @@ def build_isg_pretrain_loss(prob: Problem):
     return loss_fn
 
 
+def inference_rollout(params: dict, prob: Problem, n_steps: int) -> jnp.ndarray:
+    """Fastest inference path: the fused Pallas kernel when the cell shape
+    supports it (kernel_size=1, 2D any size / 3D tile-aligned), else the
+    jnp scan."""
+    exp = prob.exp
+    if exp.isg is not None:
+        h0 = isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
+    else:
+        h0 = prob.h0
+    cell = exp.cell
+    if cell.kernel_size == 1 and h0.dtype == jnp.float32:
+        try:
+            if cell.ndim == 2:
+                from percnn_tpu.ops.pallas.cell2d import fused_rollout_2d
+                return fused_rollout_2d(params["cell"], h0, cell, n_steps)
+            if cell.ndim == 3:
+                from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
+                return fused_rollout_3d(params["cell"], h0, cell, n_steps)
+        except (ValueError, NotImplementedError):
+            pass
+    step = lambda h: pi_cell_step(params["cell"], h, cell)
+    return rollout(step, h0, n_steps, remat=False)
+
+
 def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     """Inference rollout + rel-L2 vs clean truth (the reference's headline
     accuracy metric)."""
-    frames = np.asarray(forward_rollout(params, prob, n_steps, remat=False))
+    frames = np.asarray(inference_rollout(params, prob, n_steps))
     t = min(frames.shape[0], prob.truth.shape[0])
     return {
         "rel_l2": rel_l2(frames[:t], prob.truth[:t]),
@@ -203,9 +227,15 @@ def run_experiment(
     isg_pretrain_override: int | None = None,
     warmup: int | None = None,
     steps_per_call: int | None = None,
+    resume: bool = False,
     seed: int = 0,
 ) -> dict:
-    """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval."""
+    """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval.
+
+    resume=True reloads params/optimizer from the experiment checkpoint and
+    continues (the reference's cont/restart flag, train_2drd.py:432-439);
+    the ISG pretrain is skipped on resume.
+    """
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.metrics.jsonl"),
                            echo_every=exp.train.log_every)
@@ -215,7 +245,7 @@ def run_experiment(
     prob = setup_problem(exp, truth, dtype)
     params = init_model(exp, jax.random.PRNGKey(seed), dtype)
 
-    if exp.isg is not None:
+    if exp.isg is not None and not resume:
         n_pre = isg_pretrain_override if isg_pretrain_override is not None else exp.isg_pretrain_iters
         params["isg"] = pretrain_isg(
             build_isg_pretrain_loss(prob), params["isg"], n_iters=n_pre, logger=logger
@@ -234,10 +264,24 @@ def run_experiment(
             **({"steps_per_call": steps_per_call} if steps_per_call else {}),
         )
         loss_fn = build_loss_fn(prob, steps)
-        params, h = train(loss_fn, params, tcfg, logger=logger)
+        params, h = train(loss_fn, params, tcfg, logger=logger,
+                          resume=resume and i == 0)
         history.extend(h)
 
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
     logger.log(n_total, final_rel_l2=metrics["rel_l2"])
     logger.close()
-    return {"params": params, "history": history, **metrics}
+    result = {"params": params, "history": history, **metrics}
+    if exp.cell.kernel_size == 1:
+        # closed-form polynomial the trained Pi-block represents (reference
+        # get_expression, train_3drd.py:442-468)
+        try:
+            from percnn_tpu.discovery.symbolic import pi_block_expression
+
+            result["pi_expressions"] = [
+                str(pi_block_expression(params["cell"]["pi"][c]))
+                for c in range(exp.cell.channels)
+            ]
+        except Exception:
+            pass
+    return result

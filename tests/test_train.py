@@ -125,3 +125,28 @@ def test_gs2d_data_driven_smoke(tmp_path):
     hist = res["history"]
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0], (hist[0], hist[-1])
+
+
+def test_gs3d_data_driven_smoke(tmp_path):
+    """3D path: trilinear ISG (strides 2,1), Conv3d Pi cell, 3D losses."""
+    from percnn_tpu.experiments.configs import GS3D_RECON
+
+    exp = GS3D_RECON
+    exp = dataclasses.replace(
+        exp,
+        grid=16,
+        train_steps=20,
+        infer_steps=20,
+        curriculum=(),
+        data=dataclasses.replace(exp.data, time_stride=5, space_stride=2),
+        train=dataclasses.replace(exp.train, n_iters=30, log_every=20,
+                                  watchdog=True),
+        isg_pretrain_iters=60,
+        noise_pct=0.05,
+    )
+    res = R.run_experiment(exp, out_dir=str(tmp_path), cache_dir=None, seed=0)
+    assert np.isfinite(res["history"]).all()
+    assert res["history"][-1] < res["history"][0]
+    assert res["frames"].shape == (21, 16, 16, 16, 2)
+    # sympy extraction of the trained 3D Pi polynomial
+    assert "pi_expressions" in res and len(res["pi_expressions"]) == 2

@@ -23,6 +23,15 @@ from percnn_tpu.ops.stencils import time_derivative_fwd
 from percnn_tpu.pde.terms import TERM_REGISTRY, eval_grads, gen_library
 
 
+def reconstruction_residual_mse(rollout, system, dt: float, dx: float) -> tuple:
+    """Physics-residual MSE of a reconstruction per channel — the Stage-2
+    entry diagnostic (reference get_residual_mse, Stage-2/derivatives.py)."""
+    from percnn_tpu.pde.systems import physics_residual
+
+    r = physics_residual(system, jnp.asarray(rollout), dt, dx)
+    return float(jnp.mean(r[..., 0] ** 2)), float(jnp.mean(r[..., 1] ** 2))
+
+
 def build_design_matrix(
     rollout: np.ndarray,
     dt: float,

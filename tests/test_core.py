@@ -202,3 +202,35 @@ def test_data_loss_split_and_subsample():
     tr, va = losses.data_loss(roll, meas, cfg, 2)
     np.testing.assert_allclose(np.asarray(tr), 1.0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(va), 1.0, rtol=1e-6)
+
+
+def test_debug_utils():
+    from percnn_tpu.utils.debug import checked, assert_all_finite, nan_guard
+
+    err, out = checked(lambda x: jnp.log(x))(jnp.array([-1.0]))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        err.throw()
+    err2, out2 = checked(lambda x: x * 2)(jnp.array([1.0]))
+    err2.throw()  # no error
+    assert_all_finite({"a": jnp.ones(3)})
+    with _pytest.raises(FloatingPointError):
+        assert_all_finite({"a": jnp.array([jnp.nan])})
+    np.testing.assert_allclose(np.asarray(nan_guard(jnp.array([1.0, jnp.nan]))),
+                               [1.0, 0.0])
+
+
+def test_reconstruction_residual_mse():
+    from percnn_tpu.discovery.library import reconstruction_residual_mse
+    from percnn_tpu.data.simulate import default_ic, simulate
+
+    roll = simulate("lambda_omega", default_ic("lambda_omega", 24), 10,
+                    0.0125, 0.2, oversample=8)
+    mu, mv = reconstruction_residual_mse(roll, PDE_SYSTEMS["lambda_omega"],
+                                         0.0125, 0.2)
+    # The staggered (forward-Euler) residual of an accurate RK4 solution is
+    # floored by the Euler truncation error ~ (dt*u_tt/2)^2 ~ 4e-5 MSE for
+    # lambda-omega's O(1) dynamics — small but not machine-zero.
+    assert mu < 0.02 and mv < 0.02
+    # an exact Euler rollout by contrast is ~machine zero (see
+    # test_physics_residual_vanishes_on_euler_rollout)

@@ -107,9 +107,16 @@ def simulate(
     dtype=jnp.float64,
 ) -> np.ndarray:
     """Integrate `system` from h0 for n_steps experiment-dt steps with RK4 at
-    dt/oversample; returns [n_steps+1, *spatial, 2] (frame 0 = h0)."""
-    h0 = jnp.asarray(h0, dtype)
-    out = _integrate(
-        h0, system=system, n_record=n_steps, oversample=oversample, dx=dx, dt=dt
-    )
-    return np.asarray(out)
+    dt/oversample; returns [n_steps+1, *spatial, 2] (frame 0 = h0).
+
+    Runs on the host CPU backend: ground-truth generation is a one-off
+    data-pipeline task (and wants f64, which TPUs lack natively) — pinning
+    it to CPU also keeps the accelerator free for training.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        h0 = jnp.asarray(np.asarray(h0), dtype)
+        out = _integrate(
+            h0, system=system, n_record=n_steps, oversample=oversample, dx=dx, dt=dt
+        )
+        return np.asarray(out)

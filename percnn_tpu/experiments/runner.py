@@ -102,21 +102,35 @@ def init_model(exp: ExperimentConfig, key, dtype=jnp.float32) -> dict:
 
 
 def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
-                    bptt: str = "two_phase"):
+                    bptt: str = "auto"):
     """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2].
 
-    bptt='two_phase' uses the custom-VJP backward (sequential state sweep +
-    time-batched param grads, core/rollout.py); 'remat' uses segmented
-    jax.checkpoint through the scan.
+    bptt:
+      'auto'      — 'fused' where the Pallas kernels apply (2D, k=1, f32,
+                    on TPU), else 'two_phase';
+      'fused'     — Pallas forward + Pallas reverse-sweep backward
+                    (ops/pallas/backward2d.py);
+      'two_phase' — jnp forward + custom-VJP backward (core/rollout.py);
+      'remat'     — segmented jax.checkpoint through the scan.
     """
     exp = prob.exp
     if exp.isg is not None:
         h0 = isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
     else:
         h0 = prob.h0
+    cell = exp.cell
+    if bptt == "auto":
+        fused_ok = (cell.kernel_size == 1 and cell.ndim == 2
+                    and h0.dtype == jnp.float32
+                    and jax.default_backend() == "tpu")
+        bptt = "fused" if fused_ok else "two_phase"
+    if bptt == "fused":
+        from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
+
+        return fused_rollout_tp_2d(params["cell"], h0, cell, n_steps)
     if bptt == "two_phase":
-        return rollout_tp(_cell_step_for(exp.cell), params["cell"], h0, n_steps)
-    step = lambda h: pi_cell_step(params["cell"], h, exp.cell)
+        return rollout_tp(_cell_step_for(cell), params["cell"], h0, n_steps)
+    step = lambda h: pi_cell_step(params["cell"], h, cell)
     return rollout(step, h0, n_steps, remat=remat)
 
 

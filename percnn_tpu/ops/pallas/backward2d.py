@@ -1,0 +1,247 @@
+"""Fused backward (phase-1) kernel for the 2D Pi-cell rollout + the
+fully-fused trainable rollout.
+
+BPTT structure (core/rollout.py rollout_tp): the sequential part of the
+backward is the reverse state-cotangent sweep
+    g_t = g_in + dt * ( D * Lap(g_in) + J_Pi(h_t)^T g_in ),
+    g_in = g_{t+1} + frames_bar[t+1]
+(the 4th-order periodic Laplacian is self-adjoint, so its transpose is
+itself).  This kernel runs that sweep as ONE pallas_call: the grid walks
+time in reverse (the input index maps read frames/frames_bar back-to-front),
+the adjoint state lives in VMEM scratch with the same halo-in-state layout
+as the forward kernel, and the per-step g_in fields are streamed out for
+the parallel phase-2 parameter-gradient computation (which stays jnp/XLA —
+it is a batched-over-time reduction that XLA fuses well).
+
+`fused_rollout_tp_2d` glues forward kernel + this backward + phase 2 into a
+custom-VJP rollout that is exact (parity-tested against autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
+from percnn_tpu.ops.pallas.cell2d import (
+    HALO,
+    _interior,
+    _lap,
+    _refresh_halos,
+    pack_pi_params_2d,
+    pad_state_2d,
+    padded_dims,
+    unpad_frames_2d,
+    _fused_rollout_padded,
+)
+
+
+def _pi_jacobian_T(ui, vi, gu, gv, p, C: int, blocks: tuple):
+    """(J_Pi)^T applied to (gu, gv) on interior planes.
+
+    For each output channel o with branch affine forms y_i = w_i0*u +
+    w_i1*v + b_i:  d pi_o / du = sum_c wout[c] * sum_i w_i0[c] *
+    prod_{j != i} y_j[c].  Returns (du_bar, dv_bar)."""
+    du_acc = None
+    dv_acc = None
+    for base, g in zip(blocks, (gu, gv)):
+        stride = 3 * C
+        for c in range(C):
+            ys = []
+            w_u = []
+            w_v = []
+            for i in range(3):
+                off = base + i * stride
+                ys.append(p[off + c] * ui + p[off + C + c] * vi + p[off + 2 * C + c])
+                w_u.append(p[off + c])
+                w_v.append(p[off + C + c])
+            p01 = ys[0] * ys[1]
+            p02 = ys[0] * ys[2]
+            p12 = ys[1] * ys[2]
+            wo = p[base + 3 * stride + c]
+            du = w_u[0] * p12 + w_u[1] * p02 + w_u[2] * p01
+            dv = w_v[0] * p12 + w_v[1] * p02 + w_v[2] * p01
+            t_u = wo * du * g
+            t_v = wo * dv * g
+            du_acc = t_u if du_acc is None else du_acc + t_u
+            dv_acc = t_v if dv_acc is None else dv_acc + t_v
+    return du_acc, dv_acc
+
+
+def _phase1_kernel(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
+                   sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int, W: int,
+                   n_steps: int):
+    k = pl.program_id(0)  # walks 0..T-1; index maps deliver t = T-1-k
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+
+    C = cfg.hidden
+    block = 3 * (3 * C) + C + 1
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    # g_in = g + frames_bar[t+1]  (interior values; halos refreshed below)
+    gu_in_i = _interior(sgu_ref[:, :], 0, 0, H, W) + fbar_ref[0, 0, HALO:HALO + H, HALO:HALO + W]
+    gv_in_i = _interior(sgv_ref[:, :], 0, 0, H, W) + fbar_ref[0, 1, HALO:HALO + H, HALO:HALO + W]
+    # write g_in for phase 2 (interior only matters; halos streamed too)
+    _refresh_halos(sgu_ref, gu_in_i, H, W)
+    _refresh_halos(sgv_ref, gv_in_i, H, W)
+    gins_ref[0, 0, :, :] = sgu_ref[:, :]
+    gins_ref[0, 1, :, :] = sgv_ref[:, :]
+
+    gu = sgu_ref[:, :]
+    gv = sgv_ref[:, :]
+    lap_gu = _lap(gu, H, W, inv_dx2)
+    lap_gv = _lap(gv, H, W, inv_dx2)
+    ui = frames_ref[0, 0, HALO:HALO + H, HALO:HALO + W]
+    vi = frames_ref[0, 1, HALO:HALO + H, HALO:HALO + W]
+    jtu, jtv = _pi_jacobian_T(ui, vi, gu_in_i, gv_in_i, p_ref, C, (2, 2 + block))
+    gu_prev = gu_in_i + cfg.dt * (p_ref[0] * lap_gu + jtu)
+    gv_prev = gv_in_i + cfg.dt * (p_ref[1] * lap_gv + jtv)
+    _refresh_halos(sgu_ref, gu_prev, H, W)
+    _refresh_halos(sgv_ref, gv_prev, H, W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_phase1(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W, interpret):
+    """frames_pad: [T, 2, Hp, Wp] (states h_1..h_T as written by the forward
+    kernel; h_t for step t is frames_pad[t-1], with h_0 handled by caller);
+    fbar_pad: [T, 2, Hp, Wp] = cotangents for frames 1..T.
+    Returns (g_ins [T, 2, Hp, Wp] reversed-to-forward order, g0 [2, Hp, Wp])."""
+    hp, wp = frames_pad.shape[2], frames_pad.shape[3]
+    kernel = functools.partial(_phase1_kernel, cfg=cfg, H=H, W=W, n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    gins, g0 = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, wp), lambda k: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, 2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, frames_pad, fbar_pad)
+    return gins, g0
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused trainable rollout: pallas forward + pallas phase-1 backward +
+# XLA-batched phase-2 parameter gradients.
+# ---------------------------------------------------------------------------
+
+
+def _frames_h_prev(h0_pad, frames_pad):
+    """States h_0..h_{T-1} (inputs of each step) in padded layout."""
+    return jnp.concatenate([h0_pad[None], frames_pad[:-1]], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_rollout_tp_2d(params, h0, cfg: PiCellConfig, n_steps: int,
+                        pgrad_chunk: int = 64):
+    """Differentiable fused rollout: [H, W, 2] -> [n_steps+1, H, W, 2].
+
+    Forward AND the sequential backward sweep run as Pallas kernels; the
+    parameter-gradient reduction is a time-batched XLA computation.
+    Gradients are exact (tested against autodiff through the jnp cell)."""
+    frames = _forward(params, h0, cfg, n_steps)[0]
+    return frames
+
+
+def _forward(params, h0, cfg, n_steps):
+    interpret = jax.default_backend() != "tpu"
+    H, W = h0.shape[0], h0.shape[1]
+    packed = pack_pi_params_2d(params, cfg)
+    h0_pad = pad_state_2d(h0.astype(jnp.float32))
+    frames_pad = _fused_rollout_padded(
+        packed, h0_pad, cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret
+    )
+    out = unpad_frames_2d(frames_pad, H, W)
+    frames = jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)
+    return frames, (packed, h0_pad, frames_pad)
+
+
+def _fused_tp_fwd(params, h0, cfg, n_steps, pgrad_chunk):
+    frames, (packed, h0_pad, frames_pad) = _forward(params, h0, cfg, n_steps)
+    return frames, (params, packed, h0_pad, frames_pad)
+
+
+def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
+    params, packed, h0_pad, frames_pad = residuals
+    H, W = frames_bar.shape[1], frames_bar.shape[2]
+    interpret = jax.default_backend() != "tpu"
+
+    # cotangents for frames 1..T, padded (zeros in halo/dead region — the
+    # kernel only reads the interior of fbar)
+    hp, wp = h0_pad.shape[1], h0_pad.shape[2]
+    fbar_pad = jnp.zeros((n_steps, 2, hp, wp), jnp.float32)
+    fbar_pad = fbar_pad.at[:, :, HALO:HALO + H, HALO:HALO + W].set(
+        jnp.moveaxis(frames_bar[1:].astype(jnp.float32), -1, 1)
+    )
+
+    gins_pad, g0_pad = _fused_phase1(
+        packed, _frames_h_prev(h0_pad, frames_pad), fbar_pad,
+        cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+    )
+    h0_bar = (jnp.moveaxis(g0_pad[:, HALO:HALO + H, HALO:HALO + W], 0, -1)
+              + frames_bar[0])
+
+    # phase 2: batched parameter gradients (XLA)
+    h_prev = unpad_frames_2d(_frames_h_prev(h0_pad, frames_pad), H, W)
+    g_ins = unpad_frames_2d(gins_pad, H, W)
+
+    def pgrad(h_t, g_in):
+        _, vjp_p = jax.vjp(lambda p: pi_cell_step(p, h_t, cfg), params)
+        return vjp_p(g_in)[0]
+
+    chunk = min(pgrad_chunk, n_steps)
+    n_chunks = -(-n_steps // chunk)
+    pad = n_chunks * chunk - n_steps
+    if pad:
+        zeros_h = jnp.zeros((pad,) + h_prev.shape[1:], h_prev.dtype)
+        zeros_g = jnp.zeros((pad,) + g_ins.shape[1:], g_ins.dtype)
+        h_prev = jnp.concatenate([h_prev, zeros_h])
+        g_ins = jnp.concatenate([g_ins, zeros_g])
+    h_c = h_prev.reshape((n_chunks, chunk) + h_prev.shape[1:])
+    g_c = g_ins.reshape((n_chunks, chunk) + g_ins.shape[1:])
+
+    def body(acc, x):
+        h_b, g_b = x
+        pg = jax.vmap(pgrad)(h_b, g_b)
+        return jax.tree_util.tree_map(
+            lambda a, s: a + s.sum(0), acc, pg
+        ), None
+
+    zero = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x, dtype=jnp.float32), params
+    )
+    params_bar, _ = jax.lax.scan(body, zero, (h_c, g_c))
+    params_bar = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), params_bar, params
+    )
+    return params_bar, h0_bar.astype(frames_bar.dtype)
+
+
+fused_rollout_tp_2d.defvjp(_fused_tp_fwd, _fused_tp_bwd)

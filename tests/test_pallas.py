@@ -73,3 +73,31 @@ def test_fused_rollout_3d_rejects_unaligned():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fused_rollout_3d(params, h0, cfg, 2, interpret=True)
+
+
+def test_fused_trainable_rollout_gradients_match():
+    """fused fwd+bwd kernels == plain autodiff through the jnp cell."""
+    from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
+
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.05, dx=0.2,
+                       diffusion="sigmoid", mu_up=0.1, init_scale=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (12, 20, 2), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (7, 12, 20, 2), jnp.float32)
+
+    def loss_fused(p, h):
+        return jnp.mean((fused_rollout_tp_2d(p, h, cfg, 6) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 6, remat=False)
+        return jnp.mean((fr - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(params, h0)),
+                               float(loss_ref(params, h0)), rtol=1e-5)
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )

@@ -40,6 +40,7 @@ def main(argv=None):
     pp.add_argument("--cache", default="data_cache")
     pp.add_argument("--cpu", action="store_true")
     pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--steps-per-call", type=int, default=None)
 
     ps = sub.add_parser("simulate", help="generate FD ground truth")
     ps.add_argument("system")
@@ -109,6 +110,7 @@ def main(argv=None):
         res = run_discovery_pipeline(
             exp, out_dir=args.out, cache_dir=args.cache,
             stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
+            steps_per_call=args.steps_per_call,
             seed=args.seed,
         )
         ident_u = {n: float(c) for n, c in

@@ -72,6 +72,7 @@ def run_discovery_pipeline(
     stage3_iters: int | None = None,
     truth_terms: dict | None = None,
     dtype=None,
+    steps_per_call: int | None = None,
     seed: int = 0,
 ) -> dict:
     """Stage-1 -> Stage-2 -> Stage-3 on one experiment config."""
@@ -82,7 +83,8 @@ def run_discovery_pipeline(
 
     # ---- Stage 1: reconstruction --------------------------------------
     s1 = run_experiment(exp, out_dir=out_dir, cache_dir=cache_dir, dtype=dtype,
-                        n_iters_override=stage1_iters, seed=seed)
+                        n_iters_override=stage1_iters,
+                        steps_per_call=steps_per_call, seed=seed)
     recon = s1["frames"]  # [T+1, H, W, 2]
     save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
 

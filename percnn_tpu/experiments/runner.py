@@ -285,6 +285,20 @@ def run_experiment(
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
     logger.log(n_total, final_rel_l2=metrics["rel_l2"])
     logger.close()
+    try:
+        from percnn_tpu.viz.plots import comparison_panel
+
+        frames = metrics["frames"]
+        mid = frames.shape[0] // 2
+        fr = frames[mid]
+        tr = truth[mid]
+        if exp.cell.ndim == 3:  # mid-depth slice for 3D
+            fr, tr = fr[fr.shape[0] // 2], tr[tr.shape[0] // 2]
+        comparison_panel(fr, np.asarray(tr),
+                         os.path.join(out_dir, f"{exp.name}.panel.png"),
+                         title=f"{exp.name} t={mid}")
+    except Exception:
+        pass
     result = {"params": params, "history": history, **metrics}
     if exp.cell.kernel_size == 1:
         # closed-form polynomial the trained Pi-block represents (reference

@@ -120,14 +120,20 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
         h0 = prob.h0
     cell = exp.cell
     if bptt == "auto":
-        fused_ok = (cell.kernel_size == 1 and cell.ndim == 2
-                    and h0.dtype == jnp.float32
-                    and jax.default_backend() == "tpu")
+        aligned3d = (cell.ndim == 3 and h0.shape[0] % 8 == 0
+                     and (h0.shape[1] * h0.shape[2]) % 128 == 0)
+        fused_ok = (cell.kernel_size == 1 and h0.dtype == jnp.float32
+                    and jax.default_backend() == "tpu"
+                    and (cell.ndim == 2 or aligned3d))
         bptt = "fused" if fused_ok else "two_phase"
     if bptt == "fused":
-        from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
+        if cell.ndim == 2:
+            from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
 
-        return fused_rollout_tp_2d(params["cell"], h0, cell, n_steps)
+            return fused_rollout_tp_2d(params["cell"], h0, cell, n_steps)
+        from percnn_tpu.ops.pallas.backward3d import fused_rollout_tp_3d
+
+        return fused_rollout_tp_3d(params["cell"], h0, cell, n_steps)
     if bptt == "two_phase":
         return rollout_tp(_cell_step_for(cell), params["cell"], h0, n_steps)
     step = lambda h: pi_cell_step(params["cell"], h, cell)

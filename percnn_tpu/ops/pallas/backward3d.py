@@ -1,0 +1,165 @@
+"""Fused backward sweep + trainable rollout for the 3D Pi cell.
+
+Same structure as backward2d.py but on the flat [D, H*W] layout of
+cell3d.py: the periodic Laplacian is roll-based (self-adjoint, so the
+transpose is itself), the Pi block is pointwise, and there are no halos to
+maintain.  Phase-2 parameter gradients stay XLA-batched.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
+from percnn_tpu.ops.pallas.backward2d import _pi_jacobian_T
+from percnn_tpu.ops.pallas.cell3d import (
+    _fused_rollout3d_flat,
+    _lap3d_flat,
+    pack_pi_params_3d,
+)
+
+
+def _phase1_kernel3d(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
+                     sgu_ref, sgv_ref, *, cfg: PiCellConfig, D: int, H: int,
+                     W: int, n_steps: int):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+
+    C = cfg.hidden
+    block = 3 * (3 * C) + C + 1
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    gu_in = sgu_ref[:, :] + fbar_ref[0, 0, :, :]
+    gv_in = sgv_ref[:, :] + fbar_ref[0, 1, :, :]
+    gins_ref[0, 0, :, :] = gu_in
+    gins_ref[0, 1, :, :] = gv_in
+
+    lap_gu = _lap3d_flat(gu_in, D, H, W, inv_dx2)
+    lap_gv = _lap3d_flat(gv_in, D, H, W, inv_dx2)
+    ui = frames_ref[0, 0, :, :]
+    vi = frames_ref[0, 1, :, :]
+    jtu, jtv = _pi_jacobian_T(ui, vi, gu_in, gv_in, p_ref, C, (2, 2 + block))
+    sgu_ref[:, :] = gu_in + cfg.dt * (p_ref[0] * lap_gu + jtu)
+    sgv_ref[:, :] = gv_in + cfg.dt * (p_ref[1] * lap_gv + jtv)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "D", "H", "W", "interpret"))
+def _fused_phase1_3d(packed, frames_flat, fbar_flat, *, cfg, n_steps, D, H, W,
+                     interpret):
+    hw = H * W
+    kernel = functools.partial(_phase1_kernel3d, cfg=cfg, D=D, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, D, hw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, D, hw), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, D, hw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D, hw), lambda k: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, 2, D, hw), jnp.float32),
+            jax.ShapeDtypeStruct((2, D, hw), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, hw), jnp.float32),
+            pltpu.VMEM((D, hw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, frames_flat, fbar_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_rollout_tp_3d(params, h0, cfg: PiCellConfig, n_steps: int,
+                        pgrad_chunk: int = 16):
+    """Differentiable fused 3D rollout: [D, H, W, 2] -> [n_steps+1, D, H, W, 2].
+
+    Requires the cell3d tile-alignment (D%8==0, (H*W)%128==0)."""
+    return _forward3d(params, h0, cfg, n_steps)[0]
+
+
+def _forward3d(params, h0, cfg, n_steps):
+    interpret = jax.default_backend() != "tpu"
+    D, H, W = h0.shape[0], h0.shape[1], h0.shape[2]
+    packed = pack_pi_params_3d(params, cfg)
+    state0 = jnp.moveaxis(h0.astype(jnp.float32), -1, 0).reshape(2, D, H * W)
+    frames_flat = _fused_rollout3d_flat(
+        packed, state0, cfg=cfg, n_steps=n_steps, D=D, H=H, W=W,
+        interpret=interpret,
+    )
+    out = jnp.moveaxis(frames_flat.reshape(n_steps, 2, D, H, W), 1, -1)
+    frames = jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)
+    return frames, (packed, state0, frames_flat)
+
+
+def _fused_tp3d_fwd(params, h0, cfg, n_steps, pgrad_chunk):
+    frames, (packed, state0, frames_flat) = _forward3d(params, h0, cfg, n_steps)
+    return frames, (params, packed, state0, frames_flat)
+
+
+def _fused_tp3d_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
+    params, packed, state0, frames_flat = residuals
+    D, H, W = frames_bar.shape[1], frames_bar.shape[2], frames_bar.shape[3]
+    interpret = jax.default_backend() != "tpu"
+
+    fbar_flat = jnp.moveaxis(frames_bar[1:].astype(jnp.float32), -1, 1) \
+        .reshape(n_steps, 2, D, H * W)
+    h_prev_flat = jnp.concatenate([state0[None], frames_flat[:-1]], axis=0)
+
+    gins_flat, g0 = _fused_phase1_3d(
+        packed, h_prev_flat, fbar_flat, cfg=cfg, n_steps=n_steps,
+        D=D, H=H, W=W, interpret=interpret,
+    )
+    h0_bar = (jnp.moveaxis(g0.reshape(2, D, H, W), 0, -1) + frames_bar[0])
+
+    h_prev = jnp.moveaxis(h_prev_flat.reshape(n_steps, 2, D, H, W), 1, -1)
+    g_ins = jnp.moveaxis(gins_flat.reshape(n_steps, 2, D, H, W), 1, -1)
+
+    def pgrad(h_t, g_in):
+        _, vjp_p = jax.vjp(lambda p: pi_cell_step(p, h_t, cfg), params)
+        return vjp_p(g_in)[0]
+
+    chunk = min(pgrad_chunk, n_steps)
+    n_chunks = -(-n_steps // chunk)
+    pad = n_chunks * chunk - n_steps
+    if pad:
+        h_prev = jnp.concatenate(
+            [h_prev, jnp.zeros((pad,) + h_prev.shape[1:], h_prev.dtype)])
+        g_ins = jnp.concatenate(
+            [g_ins, jnp.zeros((pad,) + g_ins.shape[1:], g_ins.dtype)])
+    h_c = h_prev.reshape((n_chunks, chunk) + h_prev.shape[1:])
+    g_c = g_ins.reshape((n_chunks, chunk) + g_ins.shape[1:])
+
+    def body(acc, x):
+        h_b, g_b = x
+        pg = jax.vmap(pgrad)(h_b, g_b)
+        return jax.tree_util.tree_map(lambda a, s: a + s.sum(0), acc, pg), None
+
+    zero = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+    params_bar, _ = jax.lax.scan(body, zero, (h_c, g_c))
+    params_bar = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), params_bar, params)
+    return params_bar, h0_bar.astype(frames_bar.dtype)
+
+
+fused_rollout_tp_3d.defvjp(_fused_tp3d_fwd, _fused_tp3d_bwd)

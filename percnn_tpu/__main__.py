@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -69,6 +70,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: repeated CLI invocations skip the
+    # (minutes-long on the remote compiler) XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/percnn_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     if args.cmd == "simulate":
         import numpy as np

@@ -49,14 +49,26 @@ def main() -> None:
     state0 = pad_state_2d(h0)
     reps = REPS if on_tpu else 2
 
-    @jax.jit
-    def many(packed, state0):
-        def body(i, s):
-            frames = _fused_rollout_padded(
-                packed, s, cfg=cfg, n_steps=T, H=H, W=W, interpret=not on_tpu
-            )
-            return frames[-1]
-        return lax.fori_loop(0, reps, body, state0)
+    if on_tpu:
+        @jax.jit
+        def many(packed, state0):
+            def body(i, s):
+                frames = _fused_rollout_padded(
+                    packed, s, cfg=cfg, n_steps=T, H=H, W=W, interpret=False
+                )
+                return frames[-1]
+            return lax.fori_loop(0, reps, body, state0)
+    else:
+        # CPU fallback: the XLA scan path (interpreted Pallas would take
+        # minutes per rollout); numbers are then CPU-scan numbers.
+        from percnn_tpu.core.cell import pi_cell_step
+        from percnn_tpu.core.rollout import rollout_final
+
+        @jax.jit
+        def many(packed, _state0):
+            def body(i, h):
+                return rollout_final(lambda x: pi_cell_step(params, x, cfg), h, T)
+            return lax.fori_loop(0, reps, body, h0)
 
     # measure RPC/dispatch latency with a trivial op
     triv = jax.jit(lambda x: x + 1)

@@ -161,7 +161,8 @@ def train(
             history.extend(totals.tolist())
 
             last = state.iteration - 1
-            if (it // max(1, cfg.log_every)) != (state.iteration // max(1, cfg.log_every)) \
+            if it == 0 \
+                    or (it // max(1, cfg.log_every)) != (state.iteration // max(1, cfg.log_every)) \
                     or state.iteration >= cfg.n_iters:
                 logger.log(last, loss=float(totals[-1]), lr=float(np.asarray(lrs)[-1]),
                            **{k: float(v[-1]) for k, v in auxs.items()})

@@ -48,11 +48,17 @@ def build_design_matrix(
     with the forward difference on the same alignment, matching the
     reference's staggered residual (derivatives.py:129-199).
     """
+    import jax
+
     names = library if library is not None else gen_library()
-    win = jnp.asarray(rollout[frames], jnp.float64)
-    grads = eval_grads(win[:-2], dx, ndim=2)
-    dhdt = time_derivative_fwd(win, dt)
-    cols = [np.asarray(TERM_REGISTRY[n](win[:-2], grads)).reshape(-1) for n in names]
+    # pinned to host CPU: the regression wants f64 columns (TPUs would
+    # silently truncate to f32) and this is a one-off offline stage
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        win = jnp.asarray(np.asarray(rollout[frames]), jnp.float64)
+        grads = eval_grads(win[:-2], dx, ndim=2)
+        dhdt = time_derivative_fwd(win, dt)
+        cols = [np.asarray(TERM_REGISTRY[n](win[:-2], grads)).reshape(-1) for n in names]
     R = np.stack(cols, axis=1).astype(np.float64)
     Ut = np.asarray(dhdt[..., 0]).reshape(-1, 1).astype(np.float64)
     Vt = np.asarray(dhdt[..., 1]).reshape(-1, 1).astype(np.float64)

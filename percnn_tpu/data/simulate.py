@@ -57,7 +57,10 @@ def default_ic(system: str, n: int, seed: int = 66) -> np.ndarray:
         v[c, c, c] = 0.25 + 0.1 * rng.rand(*v[c, c, c].shape)
         return np.stack([u, v], axis=-1)
     if system == "burgers":
-        # smooth random periodic field from low-wavenumber Fourier modes
+        # smooth random periodic field from low-wavenumber Fourier modes,
+        # zero-mean: a mean velocity component would add a genuine
+        # ones*u_x advection term to the governing equation, which the
+        # reference's Burgers data does not contain
         def field():
             k = 4
             coef = rng.randn(2 * k + 1, 2 * k + 1) + 1j * rng.randn(2 * k + 1, 2 * k + 1)
@@ -69,6 +72,7 @@ def default_ic(system: str, n: int, seed: int = 66) -> np.ndarray:
                     a = coef[i + k, j + k]
                     f += (a.real * np.cos(2 * np.pi * (i * X + j * Y))
                           - a.imag * np.sin(2 * np.pi * (i * X + j * Y)))
+            f -= f.mean()
             f = f / np.abs(f).max()
             return f
 

@@ -50,8 +50,9 @@ def make_dataset(exp: ExperimentConfig, *, n_frames: int | None = None,
     n_frames = n_frames if n_frames is not None else max(exp.train_steps, exp.infer_steps)
     cache = None
     if cache_dir:
+        # v2: burgers ICs became zero-mean (data/simulate.py)
         cache = os.path.join(
-            cache_dir, f"{exp.system}_{n}_{n_frames}_{warmup}_{oversample}.npz"
+            cache_dir, f"{exp.system}_{n}_{n_frames}_{warmup}_{oversample}_v2.npz"
         )
         if os.path.exists(cache):
             return np.load(cache)["truth"]

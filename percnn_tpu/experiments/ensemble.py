@@ -1,0 +1,162 @@
+"""Ensemble training: K independent PeRCNN fits in one jitted computation.
+
+The reference trains a single model per script on one GPU; quantifying
+sensitivity to the measurement-noise realisation or the init seed requires
+K sequential runs.  TPU-first version: stack K members on a leading axis,
+vmap the loss, and train all members simultaneously — the member axis is
+the data-parallel axis and shards over a mesh ('data') with zero code
+change (SURVEY §2.3 DP).
+
+Adam is elementwise, so optimising mean_k loss_k trains each member exactly
+as it would train alone (the 1/K grad scale cancels in Adam's m/sqrt(v)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from percnn_tpu.core.train import TrainConfig, pretrain_isg, train
+from percnn_tpu.data.noise import add_noise
+from percnn_tpu.experiments.configs import ExperimentConfig
+from percnn_tpu.experiments.runner import (
+    Problem,
+    build_isg_pretrain_loss,
+    build_loss_fn,
+    evaluate,
+    init_model,
+    make_dataset,
+    setup_problem,
+)
+from percnn_tpu.utils.metrics import MetricsLogger
+
+
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _member(tree, i):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def run_ensemble(
+    exp: ExperimentConfig,
+    n_members: int,
+    *,
+    out_dir: str = "runs/ensemble",
+    cache_dir: str | None = "data_cache",
+    dtype=jnp.float32,
+    n_iters_override: int | None = None,
+    isg_pretrain_override: int | None = None,
+    steps_per_call: int | None = None,
+    mesh=None,
+    member_axis: str = "data",
+    warmup: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """Train `n_members` models (distinct init + noise seeds) in parallel.
+
+    mesh: optional jax Mesh — the member axis of every stacked array/param
+    is sharded over `member_axis` (pure DP; each member stays whole).
+    Returns per-member and aggregate rel-L2.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.ens.metrics.jsonl"),
+                           echo_every=exp.train.log_every)
+    if warmup is None:
+        warmup = 100 if exp.system == "lambda_omega" else 0
+    truth = make_dataset(exp, warmup=warmup, cache_dir=cache_dir)
+
+    problems = []
+    params_list = []
+    for k in range(n_members):
+        exp_k = dataclasses.replace(exp, seed=exp.seed + k)
+        problems.append(setup_problem(exp_k, truth, dtype))
+        params_list.append(init_model(exp, jax.random.PRNGKey(seed + k), dtype))
+    params = _stack_trees(params_list)
+
+    # stack the per-member device data into one Problem of batched arrays
+    def stack_field(name):
+        vals = [getattr(p, name) for p in problems]
+        return None if vals[0] is None else jnp.stack(vals)
+
+    batched = Problem(exp, truth, stack_field("h0"), stack_field("ic_low"),
+                      stack_field("measurement"))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(member_axis))
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard) if x is not None else None, t)
+        params = put(params)
+        batched = Problem(exp, truth, put(batched.h0), put(batched.ic_low),
+                          put(batched.measurement))
+
+    def member_problem(i_arrays):
+        h0, ic_low, meas = i_arrays
+        return Problem(exp, truth, h0, ic_low, meas)
+
+    arrays = (batched.h0, batched.ic_low, batched.measurement)
+
+    if exp.isg is not None:
+        n_pre = (isg_pretrain_override if isg_pretrain_override is not None
+                 else exp.isg_pretrain_iters)
+
+        def ens_isg_loss(isg_params):
+            def one(isg_p, ic_low):
+                prob_i = Problem(exp, truth, None, ic_low, None)
+                return build_isg_pretrain_loss(prob_i)(isg_p)
+
+            return jnp.mean(jax.vmap(one)(isg_params, batched.ic_low))
+
+        params["isg"] = pretrain_isg(ens_isg_loss, params["isg"],
+                                     n_iters=n_pre, logger=logger)
+
+    stages = list(exp.curriculum) + [exp.train_steps]
+    n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters
+    per_stage = max(1, n_total // len(stages))
+    history = []
+    for i, steps in enumerate(stages):
+        def ens_loss(params):
+            def one(p, h0, ic_low, meas):
+                prob_i = Problem(exp, truth, h0, ic_low, meas)
+                # two_phase: plays cleanly under vmap (the fused pallas
+                # path is single-instance)
+                total, aux = build_loss_fn(prob_i, steps, bptt="two_phase")(p)
+                return total, aux
+
+            totals, auxs = jax.vmap(one, in_axes=(0,) + tuple(
+                0 if a is not None else None for a in arrays))(params, *arrays)
+            return jnp.mean(totals), {k: jnp.mean(v) for k, v in auxs.items()}
+
+        tcfg = dataclasses.replace(
+            exp.train,
+            n_iters=per_stage if i < len(stages) - 1 else n_total - per_stage * (len(stages) - 1),
+            ckpt_path=os.path.join(out_dir, f"{exp.name}.ens.ckpt.npz"),
+            **({"steps_per_call": steps_per_call} if steps_per_call else {}),
+        )
+        params, h = train(ens_loss, params, tcfg, logger=logger)
+        history.extend(h)
+
+    rel = []
+    n_eval = min(exp.infer_steps, truth.shape[0] - 1)
+    for k in range(n_members):
+        m = evaluate(_member(params, k), problems[k], n_eval)
+        rel.append(m["rel_l2"])
+    rel = np.asarray(rel)
+    result = {
+        "params": params,
+        "history": history,
+        "rel_l2_members": rel.tolist(),
+        "rel_l2_mean": float(rel.mean()),
+        "rel_l2_std": float(rel.std()),
+    }
+    logger.log(n_total, rel_l2_mean=result["rel_l2_mean"],
+               rel_l2_std=result["rel_l2_std"])
+    logger.close()
+    return result

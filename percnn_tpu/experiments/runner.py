@@ -148,7 +148,7 @@ def _cell_step_for(cell_cfg):
     return lambda p, h: pi_cell_step(p, h, cell_cfg)
 
 
-def build_loss_fn(prob: Problem, n_steps: int):
+def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto"):
     """Composite loss per the experiment's weights; aux carries every
     component plus 'val' (holdout data MSE) and 'phy' (residual metric)."""
     exp = prob.exp
@@ -157,7 +157,7 @@ def build_loss_fn(prob: Problem, n_steps: int):
     nd = exp.cell.ndim
 
     def loss_fn(params):
-        frames = forward_rollout(params, prob, n_steps)
+        frames = forward_rollout(params, prob, n_steps, bptt=bptt)
         total = jnp.zeros((), frames.dtype)
         aux = {}
         if "data" in w or prob.measurement is not None:

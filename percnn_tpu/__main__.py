@@ -43,6 +43,19 @@ def main(argv=None):
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--steps-per-call", type=int, default=None)
 
+    pe = sub.add_parser("ensemble", help="train K members (DP) in one jit")
+    pe.add_argument("experiment")
+    pe.add_argument("--members", type=int, default=4)
+    pe.add_argument("--iters", type=int, default=None)
+    pe.add_argument("--isg-iters", type=int, default=None)
+    pe.add_argument("--out", default="runs/ensemble")
+    pe.add_argument("--cache", default="data_cache")
+    pe.add_argument("--cpu", action="store_true")
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--steps-per-call", type=int, default=None)
+    pe.add_argument("--shard", action="store_true",
+                    help="shard the member axis over all devices")
+
     ps = sub.add_parser("simulate", help="generate FD ground truth")
     ps.add_argument("system")
     ps.add_argument("--grid", type=int, default=100)
@@ -111,6 +124,22 @@ def main(argv=None):
         )
         print(json.dumps({"experiment": exp.name, "rel_l2": res["rel_l2"],
                           "final_loss": res["history"][-1]}))
+        return 0
+
+    if args.cmd == "ensemble":
+        from percnn_tpu.experiments.ensemble import run_ensemble
+        from percnn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("data",)) if args.shard else None
+        res = run_ensemble(
+            exp, args.members, out_dir=args.out, cache_dir=args.cache,
+            n_iters_override=args.iters, isg_pretrain_override=args.isg_iters,
+            steps_per_call=args.steps_per_call, mesh=mesh, seed=args.seed,
+        )
+        print(json.dumps({"experiment": exp.name,
+                          "rel_l2_members": res["rel_l2_members"],
+                          "rel_l2_mean": res["rel_l2_mean"],
+                          "rel_l2_std": res["rel_l2_std"]}))
         return 0
 
     if args.cmd == "pipeline":

@@ -234,3 +234,33 @@ def test_reconstruction_residual_mse():
     assert mu < 0.02 and mv < 0.02
     # an exact Euler rollout by contrast is ~machine zero (see
     # test_physics_residual_vanishes_on_euler_rollout)
+
+
+def test_gradient_finite_difference_check():
+    """SURVEY §4(d): jax.grad through a short rollout vs numerical FD."""
+    cfg = PiCellConfig(ndim=2, hidden=2, dt=0.05, dx=0.3)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), params)
+    h0 = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (6, 6, 2), jnp.float64)
+
+    def loss(p):
+        frames = rollout(lambda h: pi_cell_step(p, h, cfg), h0, 5, remat=False)
+        return jnp.sum(frames[-1] ** 2)
+
+    g = jax.grad(loss)(params)
+    eps = 1e-6
+    # spot-check a handful of scalar coordinates across the pytree
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = jax.tree_util.tree_leaves(g)
+    rng = np.random.RandomState(0)
+    for li in [0, 1, len(leaves) // 2, len(leaves) - 1]:
+        leaf = leaves[li]
+        idx = tuple(rng.randint(s) for s in leaf.shape) if leaf.shape else ()
+        def perturbed(sign):
+            new = leaf.at[idx].add(sign * eps) if leaf.shape else leaf + sign * eps
+            ls = list(leaves)
+            ls[li] = new
+            return float(loss(jax.tree_util.tree_unflatten(treedef, ls)))
+        fd = (perturbed(+1) - perturbed(-1)) / (2 * eps)
+        an = float(g_leaves[li][idx]) if leaf.shape else float(g_leaves[li])
+        np.testing.assert_allclose(an, fd, rtol=1e-5, atol=1e-7)

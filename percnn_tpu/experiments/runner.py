@@ -230,10 +230,15 @@ def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     accuracy metric)."""
     frames = np.asarray(inference_rollout(params, prob, n_steps))
     t = min(frames.shape[0], prob.truth.shape[0])
+    diff = (frames[:t] - prob.truth[:t]).reshape(t, -1).astype(np.float64)
+    ref = prob.truth[:t].reshape(t, -1).astype(np.float64)
+    per_frame = np.linalg.norm(diff, axis=1) / np.maximum(
+        np.linalg.norm(ref, axis=1), 1e-30)
     return {
         "rel_l2": rel_l2(frames[:t], prob.truth[:t]),
         "rel_l2_u": rel_l2(frames[:t, ..., 0], prob.truth[:t, ..., 0]),
         "rel_l2_v": rel_l2(frames[:t, ..., 1], prob.truth[:t, ..., 1]),
+        "rel_l2_per_frame": per_frame,  # error-accumulation curve
         "frames": frames,
     }
 

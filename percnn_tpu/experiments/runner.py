@@ -260,7 +260,11 @@ def run_experiment(
 
     resume=True reloads params/optimizer from the experiment checkpoint and
     continues (the reference's cont/restart flag, train_2drd.py:432-439);
-    the ISG pretrain is skipped on resume.
+    the ISG pretrain is skipped on resume.  Limitation: the checkpoint
+    records the iteration within its curriculum stage, not the stage index —
+    resuming a multi-stage curriculum re-enters stage 0 (matching the
+    reference's manual workflow of editing `steps` and re-launching with
+    cont=True).
     """
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.metrics.jsonl"),

@@ -123,7 +123,8 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
     if bptt == "auto":
         aligned3d = (cell.ndim == 3 and h0.shape[0] % 8 == 0
                      and (h0.shape[1] * h0.shape[2]) % 128 == 0)
-        fused_ok = (cell.kernel_size == 1 and h0.dtype == jnp.float32
+        fused_ok = (cell.kernel_size == 1 and cell.n_branches == 3
+                    and h0.dtype == jnp.float32
                     and jax.default_backend() == "tpu"
                     and (cell.ndim == 2 or aligned3d))
         bptt = "fused" if fused_ok else "two_phase"

@@ -184,8 +184,9 @@ def fused_rollout_2d(
     throughput path (kernel_size=1 cells).  `interpret=None` auto-selects
     interpreter mode off-TPU so tests run on CPU.
     """
-    if cfg.kernel_size != 1:
-        raise NotImplementedError("fused kernel supports kernel_size=1 Pi cells")
+    if cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused kernel supports kernel_size=1, n_branches=3 Pi cells")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     H, W = h0.shape[0], h0.shape[1]

@@ -140,8 +140,9 @@ def fused_rollout_3d(
     Requires D % 8 == 0 and (H*W) % 128 == 0 (true for the 48^3 reference
     grid); other sizes use the jnp path.
     """
-    if cfg.kernel_size != 1:
-        raise NotImplementedError("fused kernel supports kernel_size=1 Pi cells")
+    if cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused kernel supports kernel_size=1, n_branches=3 Pi cells")
     D, H, W = h0.shape[0], h0.shape[1], h0.shape[2]
     if D % 8 != 0 or (H * W) % 128 != 0:
         raise ValueError(f"grid {D}x{H}x{W} not tile-aligned for the fused 3D kernel")

@@ -155,13 +155,17 @@ def main(argv=None):
                    zip(res["stage2"]["names"], res["stage2"]["w_u"][:, 0]) if c != 0}
         ident_v = {n: float(c) for n, c in
                    zip(res["stage2"]["names"], res["stage2"]["w_v"][:, 0]) if c != 0}
-        print(json.dumps({
+        out = {
             "experiment": exp.name,
             "stage1_rel_l2": res["stage1"]["rel_l2"],
             "stage2_u": ident_u,
             "stage2_v": ident_v,
             "stage3_rel_l2": res["stage3"]["rel_l2"],
-        }, indent=2))
+        }
+        for k in ("metrics_u", "metrics_v"):
+            if k in res["stage2"]:
+                out[k] = res["stage2"][k]
+        print(json.dumps(out, indent=2))
         print(res["stage3"]["coef_table"])
         return 0
 

@@ -61,6 +61,22 @@ def identified_to_symbolic(
     return cell, (cu, cv), (nu_u, nu_v)
 
 
+# Known governing-equation term tables for discovery metrics (BASELINE.md
+# truth rows).
+TRUTH_TERMS = {
+    "burgers": {
+        "u": {"ones*lap_u": 1 / 200, "u*u_x": -1.0, "v*u_y": -1.0},
+        "v": {"ones*lap_v": 1 / 200, "u*v_x": -1.0, "v*v_y": -1.0},
+    },
+    "lambda_omega": {
+        "u": {"ones*lap_u": 0.1, "u*ones": 1.0, "u**3*ones": -1.0,
+              "u**2*v*ones": 1.0, "u*v**2*ones": -1.0, "v**3*ones": 1.0},
+        "v": {"ones*lap_v": 0.1, "v*ones": 1.0, "v**3*ones": -1.0,
+              "u**3*ones": -1.0, "u*v**2*ones": -1.0, "u**2*v*ones": -1.0},
+    },
+}
+
+
 def run_discovery_pipeline(
     exp: ExperimentConfig,
     *,
@@ -100,6 +116,8 @@ def run_discovery_pipeline(
     w_u = STRidge(R, Ut).train(must_have=5, **kw)
     w_v = STRidge(R, Vt).train(must_have=6, **kw)
     s2 = {"w_u": w_u, "w_v": w_v, "names": names}
+    if truth_terms is None:
+        truth_terms = TRUTH_TERMS.get(exp.system)
     if truth_terms:
         coef_true_u = np.zeros((len(lib), 1))
         for t, c in truth_terms.get("u", {}).items():

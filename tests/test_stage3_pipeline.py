@@ -126,12 +126,12 @@ def test_full_discovery_pipeline_tiny(tmp_path):
     from percnn_tpu.experiments.pipeline import run_discovery_pipeline
 
     exp = _small_burgers()
-    exp = dataclasses.replace(exp, isg_pretrain_iters=200, noise_pct=0.005)
+    exp = dataclasses.replace(exp, isg_pretrain_iters=100, noise_pct=0.005)
     res = run_discovery_pipeline(
         exp, out_dir=str(tmp_path), cache_dir=None,
-        stage1_iters=400, stage3_iters=80,
+        stage1_iters=150, stage3_iters=40,
         stage2_frames=slice(0, 40),
-        stage2_kwargs=dict(maxit=30, stridge_iters=30, lam=0.01, d_tol=20,
+        stage2_kwargs=dict(maxit=12, stridge_iters=15, lam=0.01, d_tol=20,
                            kappa=1.0),
     )
     names = res["stage2"]["names"]

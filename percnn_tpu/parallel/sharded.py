@@ -53,15 +53,24 @@ def pi_cell_step_haloed(
     *,
     axis_names: tuple,
     axis_sizes: tuple,
+    impl: str = "jnp",
 ) -> jnp.ndarray:
     """One Euler step on a local block [*local_spatial, C] with halo
     exchange.  Works for 1x1 Pi cells (pointwise) and 5x5 Pi cells (the
-    exchanged corners make the haloed block valid for full kernels)."""
+    exchanged corners make the haloed block valid for full kernels).
+
+    impl='pallas' (2D, k=1): halo exchange over ICI then the fused local
+    Pallas step (ops/pallas/sharded_step2d.py) — the multi-chip production
+    path."""
     nd = cfg.ndim
     axes = tuple(range(nd))
     exchange = halo_exchange_2d if nd == 2 else halo_exchange_3d
     xp = exchange(block, halo=2, axis_names=axis_names, axis_sizes=axis_sizes,
                   array_axes=axes)
+    if impl == "pallas":
+        from percnn_tpu.ops.pallas.sharded_step2d import pallas_step_haloed
+
+        return pallas_step_haloed(params, xp, cfg)
     lap = laplacian_valid(xp, cfg.dx, axes=axes)
     if cfg.kernel_size == 1:
         nonlin = jnp.concatenate(
@@ -92,15 +101,19 @@ def sharded_rollout_2d(
     *,
     axis_names: tuple = ("x", "y"),
     remat: bool = True,
+    impl: str = "jnp",
 ) -> jnp.ndarray:
     """Domain-decomposed rollout: h0 [H, W, 2] (sharded or global) ->
-    frames [n_steps+1, H, W, 2] sharded over (x, y)."""
+    frames [n_steps+1, H, W, 2] sharded over (x, y).
+
+    impl='pallas' runs each device's local step as the fused Pallas kernel
+    (halo exchange stays on the XLA side via ppermute)."""
     sizes = tuple(mesh.shape[a] for a in axis_names)
     state_spec = P(axis_names[0], axis_names[1], None)
 
     def run(p, block):
         step = lambda h: pi_cell_step_haloed(
-            p, h, cfg, axis_names=axis_names, axis_sizes=sizes
+            p, h, cfg, axis_names=axis_names, axis_sizes=sizes, impl=impl
         )
         return rollout(step, block, n_steps, remat=remat)
 

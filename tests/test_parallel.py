@@ -103,3 +103,13 @@ def test_data_parallel_vmap_rollout():
     assert out.shape == (8, 4, 8, 16, 2)
     ref0 = rollout(lambda x: pi_cell_step(params, x, cfg), batch[0], 3, remat=False)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0), rtol=1e-5, atol=1e-6)
+
+def test_sharded_rollout_pallas_impl_matches():
+    """Halo exchange (ppermute) + local fused Pallas step == single device."""
+    cfg = _cfg(1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (16, 32, 2), jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 4, remat=False)
+    mesh = make_mesh(("x", "y"), shape=(2, 4))
+    got = sharded_rollout_2d(params, h0, cfg, 4, mesh, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)

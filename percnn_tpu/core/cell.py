@@ -181,18 +181,18 @@ def init_symbolic_cell(
     """Coefficients initialised either from Stage-2 STRidge output
     (the reference hand-pastes them, fine_tuning_[5%...].py:123-130) or
     randomly."""
+    k_nu, *coef_keys = jax.random.split(key, cfg.channels + 1)
     if coef_init is not None:
         coef = [jnp.asarray(c, dtype) for c in coef_init]
     else:
-        keys = jax.random.split(key, cfg.channels)
         coef = [
-            uniform_symmetric(keys[c], (len(cfg.terms[c]),), 1.0, dtype)
+            uniform_symmetric(coef_keys[c], (len(cfg.terms[c]),), 1.0, dtype)
             for c in range(cfg.channels)
         ]
     if nu_init is not None:
         nu = jnp.asarray(nu_init, dtype)
     else:
-        nu = uniform_symmetric(key, (cfg.channels,), 1.0, dtype)
+        nu = uniform_symmetric(k_nu, (cfg.channels,), 1.0, dtype)
     return {"nu": nu, "coef": coef}
 
 

@@ -46,14 +46,18 @@ class ISGConfig:
 
 def init_isg(key, cfg: ISGConfig, dtype=jnp.float32) -> dict:
     """Torch default init for ConvT/Conv layers: U(-b, b) with
-    b = 1/sqrt(fan_in) (the reference leaves ISG at torch defaults)."""
+    b = 1/sqrt(fan_in) (the reference leaves ISG at torch defaults).
+
+    Torch's kaiming_uniform computes fan_in from weight dim 1 x receptive
+    field; ConvTranspose weights are [Cin, Cout, *k], so its fan_in is
+    Cout * k^nd (NOT Cin * k^nd)."""
     params = {}
     cin = cfg.channels
     ks = (5,) * cfg.ndim
     for i in range(cfg.n_stages):
         cout = cfg.hidden
         k1, k2, key = jax.random.split(key, 3)
-        fan_in = cin * 5**cfg.ndim
+        fan_in = cout * 5**cfg.ndim
         b = 1.0 / jnp.sqrt(fan_in)
         params[f"up{i}_w"] = jax.random.uniform(k1, ks + (cin, cout), dtype, -b, b)
         params[f"up{i}_b"] = jax.random.uniform(k2, (cout,), dtype, -b, b)

@@ -126,6 +126,7 @@ def train(
         logger = MetricsLogger(cfg.log_path, echo_every=cfg.log_every)
     history = []
     best_params = state.params
+    nan_streak = 0
 
     def save(path_suffix=""):
         if cfg.ckpt_path:
@@ -146,15 +147,21 @@ def train(
 
             if cfg.watchdog and (np.isnan(watch).any() or np.isnan(totals).any()):
                 # reference watchdog: reload last checkpoint, LR *= 0.9,
-                # retry (train_3drd.py:427-434)
+                # retry the SAME iterations (train_3drd.py:427-434); a cap
+                # on consecutive failures prevents an infinite loop
+                nan_streak += 1
+                if nan_streak > 50:
+                    raise FloatingPointError(
+                        "NaN watchdog: 50 consecutive failed chunks "
+                        f"(iteration {it}); aborting")
                 state.lr_scale *= 0.9
                 if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
                     tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
                     state.params = tree["params"]
                     state.opt_state = tree["opt_state"]
                 logger.log(it, event="nan_watchdog", lr_scale=state.lr_scale)
-                state.iteration += n_sub
                 continue
+            nan_streak = 0
 
             state.params, state.opt_state = new_params, new_opt
             state.iteration += n_sub

@@ -19,8 +19,31 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from percnn_tpu.ops.stencils import time_derivative_fwd
+from percnn_tpu.ops.stencils import FD1_CENTRAL_1D, LAP_CROSS_1D, time_derivative_fwd
 from percnn_tpu.pde.terms import TERM_REGISTRY, eval_grads, gen_library
+
+
+def _np_shift_sum(u: np.ndarray, coeffs, axis: int) -> np.ndarray:
+    r = len(coeffs) // 2
+    out = np.zeros_like(u)
+    for k, c in enumerate(coeffs):
+        if c:
+            out += c * np.roll(u, -(k - r), axis=axis)
+    return out
+
+
+def _eval_grads_np(h: np.ndarray, dx: float) -> dict:
+    """f64 numpy twin of pde.terms.eval_grads for [T, H, W, 2] windows."""
+    u, v = h[..., 0], h[..., 1]
+    lap = (_np_shift_sum(h, LAP_CROSS_1D, 1) + _np_shift_sum(h, LAP_CROSS_1D, 2)) / (dx * dx)
+    gx = lambda f: _np_shift_sum(f, FD1_CENTRAL_1D, 2) / dx
+    gy = lambda f: _np_shift_sum(f, FD1_CENTRAL_1D, 1) / dx
+    return {
+        "ones": np.ones_like(u),
+        "u": u, "v": v,
+        "u_x": gx(u), "u_y": gy(u), "v_x": gx(v), "v_y": gy(v),
+        "lap_u": lap[..., 0], "lap_v": lap[..., 1],
+    }
 
 
 def reconstruction_residual_mse(rollout, system, dt: float, dx: float) -> tuple:
@@ -48,17 +71,15 @@ def build_design_matrix(
     with the forward difference on the same alignment, matching the
     reference's staggered residual (derivatives.py:129-199).
     """
-    import jax
-
     names = library if library is not None else gen_library()
-    # pinned to host CPU: the regression wants f64 columns (TPUs would
-    # silently truncate to f32) and this is a one-off offline stage
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        win = jnp.asarray(np.asarray(rollout[frames]), jnp.float64)
-        grads = eval_grads(win[:-2], dx, ndim=2)
-        dhdt = time_derivative_fwd(win, dt)
-        cols = [np.asarray(TERM_REGISTRY[n](win[:-2], grads)).reshape(-1) for n in names]
+    # Pure numpy: the regression wants true f64 columns.  jnp would need
+    # jax_enable_x64 (not set on TPU pipeline runs, where f64 requests
+    # silently truncate to f32), so the derivative evaluation here uses
+    # numpy roll-sums with the same 4th-order coefficients.
+    win = np.asarray(rollout[frames], np.float64)
+    grads = _eval_grads_np(win[:-2], dx)
+    dhdt = (win[1:-1] - win[:-2]) / dt
+    cols = [np.asarray(TERM_REGISTRY[n](win[:-2], grads)).reshape(-1) for n in names]
     R = np.stack(cols, axis=1).astype(np.float64)
     Ut = np.asarray(dhdt[..., 0]).reshape(-1, 1).astype(np.float64)
     Vt = np.asarray(dhdt[..., 1]).reshape(-1, 1).astype(np.float64)

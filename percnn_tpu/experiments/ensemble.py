@@ -97,10 +97,6 @@ def run_ensemble(
         batched = Problem(exp, truth, put(batched.h0), put(batched.ic_low),
                           put(batched.measurement))
 
-    def member_problem(i_arrays):
-        h0, ic_low, meas = i_arrays
-        return Problem(exp, truth, h0, ic_low, meas)
-
     arrays = (batched.h0, batched.ic_low, batched.measurement)
 
     if exp.isg is not None:

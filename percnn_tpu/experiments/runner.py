@@ -50,9 +50,12 @@ def make_dataset(exp: ExperimentConfig, *, n_frames: int | None = None,
     n_frames = n_frames if n_frames is not None else max(exp.train_steps, exp.infer_steps)
     cache = None
     if cache_dir:
-        # v2: burgers ICs became zero-mean (data/simulate.py)
+        # v2: burgers ICs became zero-mean (data/simulate.py); key carries
+        # every input that changes the trajectory
         cache = os.path.join(
-            cache_dir, f"{exp.system}_{n}_{n_frames}_{warmup}_{oversample}_v2.npz"
+            cache_dir,
+            f"{exp.system}_{n}_{n_frames}_{warmup}_{oversample}"
+            f"_dt{exp.dt}_dx{round(exp.dx, 8)}_s{exp.seed}_v2.npz",
         )
         if os.path.exists(cache):
             return np.load(cache)["truth"]
@@ -82,7 +85,6 @@ def setup_problem(exp: ExperimentConfig, truth: np.ndarray, dtype=jnp.float32) -
     nd = exp.cell.ndim
     if exp.isg is None:
         return Problem(exp, truth, jnp.asarray(truth[0], dtype), None, None)
-    s = exp.data.space_stride if exp.data else 1
     scale = exp.isg.scale
     down = (slice(None, None, scale),) * nd
     ic_low = jnp.asarray(noisy[0][down], dtype)[None]  # [1, *low, 2]
@@ -157,11 +159,16 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto"):
     system = PDE_SYSTEMS[exp.system]
     nd = exp.cell.ndim
 
+    if "data" in w and prob.measurement is None:
+        raise ValueError(
+            f"experiment {exp.name!r} weights the data loss but the problem "
+            "has no measurement (no data config / ISG-free setup)")
+
     def loss_fn(params):
         frames = forward_rollout(params, prob, n_steps, bptt=bptt)
         total = jnp.zeros((), frames.dtype)
         aux = {}
-        if "data" in w or prob.measurement is not None:
+        if prob.measurement is not None:
             # measurement covers train_steps+1 frames; during curriculum the
             # rollout is shorter — subsample measurement to match.
             meas = prob.measurement

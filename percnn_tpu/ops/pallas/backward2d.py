@@ -171,6 +171,9 @@ def fused_rollout_tp_2d(params, h0, cfg: PiCellConfig, n_steps: int,
 
 
 def _forward(params, h0, cfg, n_steps):
+    if cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused trainable rollout supports kernel_size=1, n_branches=3 Pi cells")
     interpret = jax.default_backend() != "tpu"
     H, W = h0.shape[0], h0.shape[1]
     packed = pack_pi_params_2d(params, cfg)

@@ -98,8 +98,13 @@ def fused_rollout_tp_3d(params, h0, cfg: PiCellConfig, n_steps: int,
 
 
 def _forward3d(params, h0, cfg, n_steps):
-    interpret = jax.default_backend() != "tpu"
+    if cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused trainable rollout supports kernel_size=1, n_branches=3 Pi cells")
     D, H, W = h0.shape[0], h0.shape[1], h0.shape[2]
+    if D % 8 != 0 or (H * W) % 128 != 0:
+        raise ValueError(f"grid {D}x{H}x{W} not tile-aligned for the fused 3D kernel")
+    interpret = jax.default_backend() != "tpu"
     packed = pack_pi_params_3d(params, cfg)
     state0 = jnp.moveaxis(h0.astype(jnp.float32), -1, 0).reshape(2, D, H * W)
     frames_flat = _fused_rollout3d_flat(

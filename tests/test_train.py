@@ -44,14 +44,22 @@ def test_watchdog_reloads_and_decays_lr(tmp_path):
         l = l + jnp.sqrt(1.0 - jnp.sum(p["w"] ** 2)) * 0.0
         return l, {"phy": jnp.where(jnp.sum(p["w"] ** 2) > 25.0, jnp.nan, l)}
 
-    # start far away and use big LR so w grows past the NaN threshold? Adam
-    # steps are bounded by lr; instead start inside the NaN region: watchdog
-    # triggers immediately, halving lr_scale until n_iters exhausted without
-    # crashing.
+    # Start inside the NaN region with no prior checkpoint: the watchdog
+    # retries (reload + 0.9x LR) without consuming iterations, and aborts
+    # with a clear error after 50 consecutive failures instead of looping
+    # forever.
     cfg = TrainConfig(n_iters=20, lr=1e-2, watchdog=True, watchdog_key="phy",
                       ckpt_path=str(tmp_path / "w.npz"))
-    params, hist = train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg)
+    with pytest.raises(FloatingPointError, match="NaN watchdog"):
+        train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg)
+
+    # with a recoverable state (params start finite, checkpoint written
+    # before the NaN region is entered) training completes
+    cfg2 = TrainConfig(n_iters=10, lr=1e-3, watchdog=True, watchdog_key="phy",
+                       ckpt_path=str(tmp_path / "w2.npz"), ckpt_every=1)
+    params, hist = train(loss_fn, {"w": 0.1 * jnp.ones(3)}, cfg2)
     assert np.isfinite(np.asarray(params["w"])).all()
+    assert len(hist) == 10
 
 
 def test_resume_from_checkpoint(tmp_path):

@@ -170,6 +170,87 @@ def _fused_rollout_padded(packed, state0, *, cfg, n_steps, H, W, interpret):
     )(packed, state0)
 
 
+def _final_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *, cfg: PiCellConfig,
+                  H: int, W: int):
+    """Like _rollout_kernel but only the final state leaves the chip —
+    the output block's index map pins one buffer, so per-step HBM traffic
+    is zero (pure-compute roofline / final-state inference)."""
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        su_ref[:, :] = init_ref[0, :, :]
+        sv_ref[:, :] = init_ref[1, :, :]
+
+    u = su_ref[:, :]
+    v = sv_ref[:, :]
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+    C = cfg.hidden
+    block = 3 * (3 * C) + C + 1
+    lap_u = _lap(u, H, W, inv_dx2)
+    lap_v = _lap(v, H, W, inv_dx2)
+    ui = _interior(u, 0, 0, H, W)
+    vi = _interior(v, 0, 0, H, W)
+    pi_u = _pi_poly(ui, vi, p_ref, 2, C)
+    pi_v = _pi_poly(ui, vi, p_ref, 2 + block, C)
+    un = ui + cfg.dt * (p_ref[0] * lap_u + pi_u)
+    vn = vi + cfg.dt * (p_ref[1] * lap_v + pi_v)
+    _refresh_halos(su_ref, un, H, W)
+    _refresh_halos(sv_ref, vn, H, W)
+
+    @pl.when(t == n - 1)
+    def _():
+        out_ref[0, :, :] = su_ref[:, :]
+        out_ref[1, :, :] = sv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_final_padded(packed, state0, *, cfg, n_steps, H, W, interpret):
+    hp, wp = state0.shape[1], state0.shape[2]
+    kernel = functools.partial(_final_kernel, cfg=cfg, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, hp, wp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, hp, wp), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, state0)
+
+
+def fused_rollout_final_2d(
+    params: dict,
+    h0: jnp.ndarray,
+    cfg: PiCellConfig,
+    n_steps: int,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Final state only: [H, W, 2] -> [H, W, 2] after n_steps (no frame
+    streaming — the fastest inference path)."""
+    if cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused kernel supports kernel_size=1, n_branches=3 Pi cells")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = h0.shape[0], h0.shape[1]
+    packed = pack_pi_params_2d(params, cfg)
+    state0 = pad_state_2d(h0.astype(jnp.float32))
+    out = _fused_final_padded(packed, state0, cfg=cfg, n_steps=n_steps,
+                              H=H, W=W, interpret=interpret)
+    return jnp.moveaxis(out[:, HALO:HALO + H, HALO:HALO + W], 0, -1)
+
+
 def fused_rollout_2d(
     params: dict,
     h0: jnp.ndarray,

@@ -128,3 +128,16 @@ def test_fused_trainable_rollout_3d_gradients_match():
                                                 rtol=2e-4, atol=2e-6),
         g1, g2,
     )
+
+
+def test_fused_final_matches_full_rollout():
+    from percnn_tpu.ops.pallas.cell2d import fused_rollout_final_2d
+
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.05, dx=0.2,
+                       diffusion="sigmoid", mu_up=0.1, init_scale=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (12, 20, 2), jnp.float32)
+    full = fused_rollout_2d(params, h0, cfg, 6, interpret=True)
+    last = fused_rollout_final_2d(params, h0, cfg, 6, interpret=True)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(full[-1]),
+                               rtol=1e-6, atol=1e-7)

@@ -70,12 +70,13 @@ def init_isg(key, cfg: ISGConfig, dtype=jnp.float32) -> dict:
 
 
 def isg_apply(params: dict, h_low: jnp.ndarray, cfg: ISGConfig) -> jnp.ndarray:
-    """[..., *low, C] -> [..., *high, C], high = low * 2**n_upsample.
+    """[..., *low, C] -> [..., *high, C], high = low * prod(strides).
 
-    Activation sits after every ConvT stage except the last when there are
-    multiple stages (reference 2D-GS: Sigmoid only between the two ConvT
-    layers, train_2drd.py:33-39; Burgers: Tanh after the single ConvT,
-    rcnn_Burgers...py:43-49)."""
+    The activation sits after the FIRST ConvT stage only — that matches all
+    three reference variants: 2D-GS Sigmoid between its two ConvTs
+    (train_2drd.py:33-39), 3D-GS Sigmoid between ConvT(s2) and ConvT(s1)
+    (train_3drd.py:47-51), Burgers/LO Tanh after the single ConvT
+    (rcnn_Burgers...py:43-49)."""
     act = jax.nn.sigmoid if cfg.activation == "sigmoid" else jnp.tanh
     x = h_low
     for i, stride in enumerate(cfg.strides):

@@ -64,13 +64,42 @@ def data_loss(
     return train, val
 
 
-def ic_loss(isg_out: jnp.ndarray, ic_low: jnp.ndarray, ndim: int, method: str) -> jnp.ndarray:
-    """MSE(ISG(low), align_corners-True interpolation of low to grid).
+def ic_target(ic_low: jnp.ndarray, target_sizes, ndim: int, method: str,
+              *, align_corners: bool = False,
+              periodic_extend: bool = False) -> jnp.ndarray:
+    """Interpolation target for the IC loss, matching the reference's three
+    conventions exactly:
 
-    method: 'cubic' for 2D (bicubic, train_2drd.py:331-338), 'linear' for 3D
-    (trilinear, train_3drd.py:325-332)."""
+    - GS 2D: bicubic, default align_corners=False (train_2drd.py:334)
+    - GS 3D: trilinear, align_corners=False (train_3drd.py:328)
+    - Burgers/LO: wrap-extend the low grid by one cell per axis, bicubic
+      align_corners=True to (2n+1), crop the extra row/col
+      (rcnn_Burgers...py:465-470) — align_corners on the periodic extension,
+      which respects the periodic topology.
+    """
+    if periodic_extend:
+        pad = [(0, 0)] * ic_low.ndim
+        for i in range(ndim):
+            pad[ic_low.ndim - 1 - ndim + i] = (0, 1)
+        low = jnp.pad(ic_low, pad, mode="wrap")
+        big = tuple(s + 1 for s in target_sizes)
+        t = resize_align_corners(low, big, method=method, align_corners=True)
+        sl = [slice(None)] * t.ndim
+        for i in range(ndim):
+            sl[t.ndim - 1 - ndim + i] = slice(0, target_sizes[i])
+        return t[tuple(sl)]
+    return resize_align_corners(ic_low, target_sizes, method=method,
+                                align_corners=align_corners)
+
+
+def ic_loss(isg_out: jnp.ndarray, ic_low: jnp.ndarray, ndim: int, method: str,
+            *, align_corners: bool = False,
+            periodic_extend: bool = False) -> jnp.ndarray:
+    """MSE(ISG(low), interpolation of low to the solver grid)."""
     target_sizes = isg_out.shape[-1 - ndim : -1]
-    target = resize_align_corners(ic_low, target_sizes, method=method)
+    target = ic_target(ic_low, target_sizes, ndim, method,
+                       align_corners=align_corners,
+                       periodic_extend=periodic_extend)
     return mse(isg_out, target)
 
 

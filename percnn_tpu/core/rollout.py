@@ -65,11 +65,7 @@ def rollout(
     if remat:
         inner = jax.checkpoint(inner, prevent_cse=False)
 
-    def outer(h, _):
-        h2, ys = inner(h, None)
-        return h2, ys
-
-    _, frames = jax.lax.scan(outer, h0, None, length=n_seg)
+    _, frames = jax.lax.scan(inner, h0, None, length=n_seg)
     frames = frames.reshape((n_steps,) + h0.shape)
     return jnp.concatenate([h0[None], frames], axis=0)
 
@@ -97,6 +93,41 @@ def rollout_final(step_fn, h0, n_steps: int) -> jnp.ndarray:
 # Phase 2 vectorises over T into large fused batched ops (MXU-friendly for
 # the Pi channel matmuls) instead of T tiny sequential ones.
 # --------------------------------------------------------------------------
+
+
+def chunked_param_grads(step_fn, params, h_prev, g_ins, n_steps: int,
+                        chunk: int):
+    """Phase-2 of the two-phase backward: parameter gradients
+    sum_t vjp_params(step_fn at h_t)(g_{t+1}), batched over time in chunks
+    of `chunk` to bound activation memory.  Shared by the jnp and Pallas
+    BPTT paths.
+
+    step_fn: (params, h) -> h_next.  h_prev/g_ins: [n_steps, *state].
+    Zero-padded tail steps contribute zero gradient (zero cotangent)."""
+
+    def pgrad(h_t, g_in):
+        _, vjp_p = jax.vjp(lambda p: step_fn(p, h_t), params)
+        return vjp_p(g_in)[0]
+
+    chunk = min(chunk, n_steps)
+    n_chunks = -(-n_steps // chunk)
+    pad = n_chunks * chunk - n_steps
+    if pad:
+        h_prev = jnp.concatenate(
+            [h_prev, jnp.zeros((pad,) + h_prev.shape[1:], h_prev.dtype)])
+        g_ins = jnp.concatenate(
+            [g_ins, jnp.zeros((pad,) + g_ins.shape[1:], g_ins.dtype)])
+    h_c = h_prev.reshape((n_chunks, chunk) + h_prev.shape[1:])
+    g_c = g_ins.reshape((n_chunks, chunk) + g_ins.shape[1:])
+
+    def body(acc, x):
+        h_b, g_b = x
+        pg = jax.vmap(pgrad)(h_b, g_b)
+        return jax.tree_util.tree_map(lambda a, s: a + s.sum(0), acc, pg), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    params_bar, _ = jax.lax.scan(body, zero, (h_c, g_c))
+    return params_bar
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
@@ -138,31 +169,8 @@ def _rollout_tp_bwd(step_fn, n_steps, pgrad_chunk, residuals, frames_bar):
     h0_bar = gbar0 + frames_bar[0]
 
     # ---- phase 2: time-batched parameter gradients, chunked ----
-    def pgrad(h_t, g_in):
-        _, vjp_p = jax.vjp(lambda p: step_fn(p, h_t), params)
-        return vjp_p(g_in)[0]
-
-    chunk = min(pgrad_chunk, n_steps)
-    n_chunks = -(-n_steps // chunk)
-    pad = n_chunks * chunk - n_steps
-    if pad:
-        h_pad = jnp.concatenate([h_prev, jnp.zeros((pad,) + h_prev.shape[1:],
-                                                   h_prev.dtype)])
-        g_pad = jnp.concatenate([g_ins, jnp.zeros((pad,) + g_ins.shape[1:],
-                                                  g_ins.dtype)])
-    else:
-        h_pad, g_pad = h_prev, g_ins
-    h_c = h_pad.reshape((n_chunks, chunk) + h_prev.shape[1:])
-    g_c = g_pad.reshape((n_chunks, chunk) + g_ins.shape[1:])
-
-    def p2_body(acc, x):
-        h_b, g_b = x
-        pg = jax.vmap(pgrad)(h_b, g_b)
-        pg_sum = jax.tree_util.tree_map(lambda a: a.sum(0), pg)
-        return jax.tree_util.tree_map(jnp.add, acc, pg_sum), None
-
-    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-    params_bar, _ = jax.lax.scan(p2_body, zero, (h_c, g_c))
+    params_bar = chunked_param_grads(step_fn, params, h_prev, g_ins,
+                                     n_steps, pgrad_chunk)
     return params_bar, h0_bar
 
 

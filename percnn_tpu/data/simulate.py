@@ -100,6 +100,72 @@ def _integrate(h0, *, system: str, n_record: int, oversample: int, dx: float, dt
     return jnp.concatenate([h0[None], frames], axis=0)
 
 
+def _np_shift_sum(u, coeffs, axis):
+    r = len(coeffs) // 2
+    out = np.zeros_like(u)
+    for k, c in enumerate(coeffs):
+        if c:
+            out += c * np.roll(u, -(k - r), axis=axis)
+    return out
+
+
+def _integrate_np(h0: np.ndarray, *, system: str, n_record: int,
+                  oversample: int, dx: float, dt: float) -> np.ndarray:
+    """Pure-numpy f64 RK4 (used when jax_enable_x64 is off, where jnp would
+    silently truncate f64 to f32).  Same stencils/rhs as the jax path."""
+    from percnn_tpu.ops.stencils import FD1_CENTRAL_1D, LAP_CROSS_1D
+
+    ndim = h0.ndim - 1
+    axes = tuple(range(ndim))
+
+    def lap(h):
+        acc = np.zeros_like(h)
+        for ax in axes:
+            acc += _np_shift_sum(h, LAP_CROSS_1D, ax)
+        return acc / (dx * dx)
+
+    def grad(h, ax):
+        return _np_shift_sum(h, FD1_CENTRAL_1D, ax) / dx
+
+    def rhs(h):
+        u, v = h[..., 0], h[..., 1]
+        L = lap(h)
+        if system == "lambda_omega":
+            a2 = u * u + v * v
+            return np.stack([0.1 * L[..., 0] + (1 - a2) * u + a2 * v,
+                             0.1 * L[..., 1] - a2 * u + (1 - a2) * v], -1)
+        if system == "gray_scott_2d":
+            Du, Dv, f, k = 2e-5, 5e-6, 0.04, 0.06
+            uvv = u * v * v
+            return np.stack([Du * L[..., 0] - uvv + f * (1 - u),
+                             Dv * L[..., 1] + uvv - (f + k) * v], -1)
+        if system == "gray_scott_3d":
+            Du, Dv, f, k = 0.2, 0.1, 0.025, 0.055
+            uvv = u * v * v
+            return np.stack([Du * L[..., 0] - uvv + f * (1 - u),
+                             Dv * L[..., 1] + uvv - (f + k) * v], -1)
+        if system == "burgers":
+            nu = 1.0 / 200.0
+            ux, uy = grad(h[..., 0:1], ndim - 1)[..., 0], grad(h[..., 0:1], ndim - 2)[..., 0]
+            vx, vy = grad(h[..., 1:2], ndim - 1)[..., 0], grad(h[..., 1:2], ndim - 2)[..., 0]
+            return np.stack([nu * L[..., 0] - u * ux - v * uy,
+                             nu * L[..., 1] - u * vx - v * vy], -1)
+        raise KeyError(system)
+
+    dts = dt / oversample
+    h = np.asarray(h0, np.float64)
+    frames = [h]
+    for _ in range(n_record):
+        for _ in range(oversample):
+            k1 = rhs(h)
+            k2 = rhs(h + 0.5 * dts * k1)
+            k3 = rhs(h + 0.5 * dts * k2)
+            k4 = rhs(h + dts * k3)
+            h = h + (dts / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        frames.append(h)
+    return np.stack(frames)
+
+
 def simulate(
     system: str,
     h0: np.ndarray,
@@ -113,10 +179,16 @@ def simulate(
     """Integrate `system` from h0 for n_steps experiment-dt steps with RK4 at
     dt/oversample; returns [n_steps+1, *spatial, 2] (frame 0 = h0).
 
-    Runs on the host CPU backend: ground-truth generation is a one-off
-    data-pipeline task (and wants f64, which TPUs lack natively) — pinning
-    it to CPU also keeps the accelerator free for training.
+    Runs on the host CPU: ground-truth generation is a one-off data-pipeline
+    task that wants true f64.  When f64 is requested but jax_enable_x64 is
+    off (jnp would silently truncate to f32), a pure-numpy f64 RK4 path is
+    used instead; otherwise the jitted jax path runs on the CPU backend.
     """
+    want_f64 = dtype == jnp.float64
+    if want_f64 and not jax.config.jax_enable_x64:
+        return _integrate_np(np.asarray(h0, np.float64), system=system,
+                             n_record=n_steps, oversample=oversample,
+                             dx=dx, dt=dt)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         h0 = jnp.asarray(np.asarray(h0), dtype)

@@ -33,6 +33,9 @@ class ExperimentConfig:
     loss_weights: dict = None       # {'data': w, 'ic': w, 'phy': w}
     noise_pct: float = 0.1
     interp_method: str = "cubic"    # IC-loss target interpolation
+    interp_align_corners: bool = False   # torch F.interpolate default
+    interp_periodic_extend: bool = False # Burgers/LO wrap-extend + crop
+                                    # (rcnn_Burgers...py:465-470)
     isg_pretrain_iters: int = 4000
     seed: int = 66
 
@@ -132,6 +135,8 @@ BURGERS_STAGE1 = ExperimentConfig(
     loss_weights={"data": 1.0, "ic": 1.0},
     noise_pct=0.05,
     interp_method="cubic",
+    interp_align_corners=True,
+    interp_periodic_extend=True,
 )
 
 # 2D lambda-omega Stage-1 reconstruction (rcnn_LO...py): like Burgers S1 but
@@ -155,6 +160,8 @@ LO_STAGE1 = ExperimentConfig(
     loss_weights={"data": 1.0, "ic": 1.0},
     noise_pct=0.1,
     interp_method="cubic",
+    interp_align_corners=True,
+    interp_periodic_extend=True,
 )
 
 EXPERIMENTS = {

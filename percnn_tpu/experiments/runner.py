@@ -180,7 +180,9 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto"):
                 total = total + w["data"] * tr
         if exp.isg is not None:
             out = isg_apply(params["isg"], prob.ic_low, exp.isg)
-            icl = ic_loss(out, prob.ic_low, nd, exp.interp_method)
+            icl = ic_loss(out, prob.ic_low, nd, exp.interp_method,
+                          align_corners=exp.interp_align_corners,
+                          periodic_extend=exp.interp_periodic_extend)
             aux["ic"] = icl
             if "ic" in w:
                 total = total + w["ic"] * icl
@@ -204,7 +206,9 @@ def build_isg_pretrain_loss(prob: Problem):
 
     def loss_fn(isg_params):
         out = isg_apply(isg_params, prob.ic_low, exp.isg)
-        return ic_loss(out, prob.ic_low, exp.cell.ndim, exp.interp_method)
+        return ic_loss(out, prob.ic_low, exp.cell.ndim, exp.interp_method,
+                       align_corners=exp.interp_align_corners,
+                       periodic_extend=exp.interp_periodic_extend)
 
     return loss_fn
 

@@ -26,7 +26,6 @@ from percnn_tpu.core.isg import ISGConfig, init_isg, isg_apply
 from percnn_tpu.core.losses import DataLossConfig, data_loss, ic_loss
 from percnn_tpu.core.rollout import rollout
 from percnn_tpu.core.train import TrainConfig, pretrain_isg, train
-from percnn_tpu.data.noise import add_noise
 from percnn_tpu.experiments.configs import ExperimentConfig
 from percnn_tpu.utils.metrics import MetricsLogger, rel_l2
 
@@ -132,17 +131,17 @@ def run_stage3(
     seed: int = 0,
 ) -> dict:
     """Train the symbolic cell + ISG on the Stage-1 data setup."""
+    from percnn_tpu.experiments.runner import setup_problem
+
     os.makedirs(out_dir, exist_ok=True)
     base = cfg.base
     logger = MetricsLogger(os.path.join(out_dir, "stage3.metrics.jsonl"),
                            echo_every=cfg.train.log_every)
-    noisy = add_noise(truth, base.noise_pct, seed=base.seed)
     nd = cfg.cell.ndim
-    scale = base.isg.scale
-    ic_low = jnp.asarray(noisy[0][(slice(None, None, scale),) * nd], dtype)[None]
-    t_sl = slice(0, -1 if base.data.drop_last_frame else None, base.data.time_stride)
-    idx = (t_sl,) + (slice(None, None, base.data.space_stride),) * nd
-    meas = jnp.asarray(noisy[: base.train_steps + 1][idx], dtype)
+    # identical noisy-IC / measurement setup as Stage-1 (single source of
+    # truth for the subsampling conventions)
+    prob = setup_problem(base, truth, dtype)
+    ic_low, meas = prob.ic_low, prob.measurement
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -154,7 +153,9 @@ def run_stage3(
 
     def isg_loss(isg_params):
         out = isg_apply(isg_params, ic_low, base.isg)
-        return ic_loss(out, ic_low, nd, base.interp_method)
+        return ic_loss(out, ic_low, nd, base.interp_method,
+                       align_corners=base.interp_align_corners,
+                       periodic_extend=base.interp_periodic_extend)
 
     params["isg"] = pretrain_isg(isg_loss, params["isg"],
                                  n_iters=isg_pretrain_iters, logger=logger)
@@ -165,7 +166,9 @@ def run_stage3(
                          h0, base.train_steps)
         tr, va = data_loss(frames, meas, base.data, nd)
         icl = ic_loss(isg_apply(params["isg"], ic_low, base.isg), ic_low, nd,
-                      base.interp_method)
+                      base.interp_method,
+                      align_corners=base.interp_align_corners,
+                      periodic_extend=base.interp_periodic_extend)
         total = base.loss_weights.get("data", 1.0) * tr \
             + base.loss_weights.get("ic", 1.0) * icl
         return total, {"data": tr, "val": va, "ic": icl}

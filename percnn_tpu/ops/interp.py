@@ -1,15 +1,18 @@
-"""Separable align_corners=True resampling (bilinear / bicubic / trilinear).
+"""Separable torch-parity resampling (bilinear / bicubic / trilinear),
+both align_corners conventions.
 
-The reference trains the ISG against ``F.interpolate(..., mode='bicubic',
-align_corners=True)`` targets in 2D (train_2drd.py:331-338) and trilinear in
-3D (train_3drd.py:325-332); ``jax.image.resize`` only implements half-pixel
-(align_corners=False) sampling, so an off-by-half here would silently skew
-the IC loss.  We build, per axis, a dense [out, in] interpolation matrix at
-trace time (static shapes -> constant-folded) and apply it with tensordot —
-small dense matmuls that ride the MXU instead of gather ops.
+The reference trains the ISG against ``F.interpolate`` targets with three
+distinct conventions: GS 2D bicubic with the default align_corners=False
+(train_2drd.py:334), GS 3D trilinear align_corners=False (train_3drd.py:328),
+and Burgers/LO bicubic align_corners=True on a periodic-extended grid
+(rcnn_Burgers...py:467).  ``jax.image.resize`` matches neither torch cubic
+kernel (it uses Keys a=-0.5; torch uses -0.75), so we build, per axis, a
+dense [out, in] interpolation matrix at trace time (static shapes ->
+constant-folded) and apply it with tensordot — small dense matmuls that ride
+the MXU instead of gather ops.
 
 Cubic kernel: Keys convolution with A = -0.75 (torch's constant), border taps
-clamped — bit-matching torch's ``upsample_bicubic2d`` with align_corners=True.
+clamped — matching torch's ``upsample_bicubic2d`` in both conventions.
 """
 
 from __future__ import annotations
@@ -30,13 +33,20 @@ def _cubic_w(t: np.ndarray) -> np.ndarray:
     return np.stack([w0, w1, w2, w3], axis=-1)  # [out, 4]
 
 
-def _axis_matrix(n_in: int, n_out: int, method: str) -> np.ndarray:
-    """Dense [n_out, n_in] align_corners=True resampling matrix."""
+def _axis_matrix(n_in: int, n_out: int, method: str,
+                 align_corners: bool = True) -> np.ndarray:
+    """Dense [n_out, n_in] resampling matrix (torch grid conventions)."""
     M = np.zeros((n_out, n_in), dtype=np.float64)
-    if n_out == 1:
+    if n_out == 1 and align_corners:
         M[0, 0] = 1.0
         return M
-    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    if align_corners:
+        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        # torch clamps the source coordinate at 0 for linear modes
+        if method == "linear":
+            src = np.maximum(src, 0.0)
     i0 = np.floor(src).astype(np.int64)
     t = src - i0
     if method == "linear":
@@ -59,12 +69,15 @@ def resize_align_corners(
     sizes,
     *,
     method: str = "cubic",
+    align_corners: bool = True,
     channel_last: bool = True,
 ) -> jnp.ndarray:
-    """Resize the spatial axes of x to `sizes` with align_corners=True.
+    """Resize the spatial axes of x to `sizes` with torch semantics.
 
     x: [..., s1, ..., sn, C] if channel_last else [..., s1, ..., sn].
     `method`: 'cubic' (2D bicubic parity) or 'linear' (bi/trilinear parity).
+    `align_corners`: torch's flag (False = half-pixel centres, the
+    F.interpolate default).
     """
     nd = len(sizes)
     off = 1 if channel_last else 0
@@ -73,6 +86,7 @@ def resize_align_corners(
         n_in = x.shape[ax]
         if n_in == n_out:
             continue
-        M = jnp.asarray(_axis_matrix(n_in, n_out, method), dtype=x.dtype)
+        M = jnp.asarray(_axis_matrix(n_in, n_out, method, align_corners),
+                        dtype=x.dtype)
         x = jnp.moveaxis(jnp.tensordot(M, jnp.moveaxis(x, ax, 0), axes=(1, 0)), 0, ax)
     return x

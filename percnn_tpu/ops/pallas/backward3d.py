@@ -16,6 +16,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
+from percnn_tpu.core.rollout import chunked_param_grads
 from percnn_tpu.ops.pallas.backward2d import _pi_jacobian_T
 from percnn_tpu.ops.pallas.cell3d import (
     _fused_rollout3d_flat,
@@ -139,31 +140,9 @@ def _fused_tp3d_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
     h_prev = jnp.moveaxis(h_prev_flat.reshape(n_steps, 2, D, H, W), 1, -1)
     g_ins = jnp.moveaxis(gins_flat.reshape(n_steps, 2, D, H, W), 1, -1)
 
-    def pgrad(h_t, g_in):
-        _, vjp_p = jax.vjp(lambda p: pi_cell_step(p, h_t, cfg), params)
-        return vjp_p(g_in)[0]
-
-    chunk = min(pgrad_chunk, n_steps)
-    n_chunks = -(-n_steps // chunk)
-    pad = n_chunks * chunk - n_steps
-    if pad:
-        h_prev = jnp.concatenate(
-            [h_prev, jnp.zeros((pad,) + h_prev.shape[1:], h_prev.dtype)])
-        g_ins = jnp.concatenate(
-            [g_ins, jnp.zeros((pad,) + g_ins.shape[1:], g_ins.dtype)])
-    h_c = h_prev.reshape((n_chunks, chunk) + h_prev.shape[1:])
-    g_c = g_ins.reshape((n_chunks, chunk) + g_ins.shape[1:])
-
-    def body(acc, x):
-        h_b, g_b = x
-        pg = jax.vmap(pgrad)(h_b, g_b)
-        return jax.tree_util.tree_map(lambda a, s: a + s.sum(0), acc, pg), None
-
-    zero = jax.tree_util.tree_map(
-        lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
-    params_bar, _ = jax.lax.scan(body, zero, (h_c, g_c))
-    params_bar = jax.tree_util.tree_map(
-        lambda g, p: g.astype(p.dtype), params_bar, params)
+    params_bar = chunked_param_grads(
+        lambda p, h: pi_cell_step(p, h, cfg), params, h_prev, g_ins,
+        n_steps, pgrad_chunk)
     return params_bar, h0_bar.astype(frames_bar.dtype)
 
 

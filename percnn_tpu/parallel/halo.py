@@ -44,16 +44,15 @@ def halo_exchange_2d(
 ) -> jnp.ndarray:
     """[h, w, C] local block -> [h+2r, w+2r, C] haloed block.
 
-    Only edge strips are exchanged (cross stencils never read corners, see
-    ops/pallas/cell2d.py); the corner regions of the result contain strips
-    from the same-row/col neighbours and must not be read.
+    The axes are exchanged sequentially: the second exchange sends strips of
+    the already-extended block, so the corner regions are filled with the
+    correct diagonal-neighbour values.  Full k x k kernels (the 5x5 Pi
+    branches in parallel/sharded.py) may therefore read the corners; cross
+    stencils simply never touch them.
     """
     out = block
     for arr_ax, name, size in zip(array_axes, axis_names, axis_sizes):
         out = _exchange_axis(out, arr_ax, name, size, halo)
-    # After the second exchange the first axis' halos were extended too —
-    # exchange order means axis-1 strips of the already-extended axis-0
-    # halos travel along axis 1, which fills corners correctly as well.
     return out
 
 

@@ -27,6 +27,7 @@ class MetricsLogger:
         self.path = path
         self.echo_every = echo_every
         self.history: list[dict] = []
+        self._n_echoed = 0
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._f = open(path, "a", buffering=1)
@@ -36,14 +37,20 @@ class MetricsLogger:
     def log(self, step: int, **metrics) -> None:
         rec = {"step": step, "time": time.time()}
         for k, v in metrics.items():
-            if isinstance(v, str) or np.ndim(v) != 0:
+            if isinstance(v, str):
                 rec[k] = v
+            elif np.ndim(v) != 0:
+                rec[k] = np.asarray(v).tolist()  # JSON-safe
             else:
                 rec[k] = float(v)
         self.history.append(rec)
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
-        if self.echo_every and step % self.echo_every == 0:
+        # echo every record (callers already rate-limit how often they log;
+        # keying on `step % echo_every` missed records logged at off-grid
+        # steps like iteration-1)
+        if self.echo_every:
+            self._n_echoed += 1
             msg = ", ".join(f"{k}={v:.3e}" if isinstance(v, float) else f"{k}={v}"
                             for k, v in rec.items() if k != "time")
             print(f"[{step}] {msg}")

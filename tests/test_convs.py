@@ -97,3 +97,30 @@ def test_resize_align_corners_trilinear():
     x_cl = np.transpose(x, (0, 2, 3, 4, 1))
     got = resize_align_corners(jnp.asarray(x_cl), (24, 24, 24), method="linear")
     np.testing.assert_allclose(np.asarray(got), np.transpose(ref, (0, 2, 3, 4, 1)), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode,method", [("bicubic", "cubic"), ("bilinear", "linear")])
+def test_resize_half_pixel_2d(mode, method):
+    """align_corners=False (the F.interpolate default, used by the GS IC
+    loss, train_2drd.py:334)."""
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 2, 25, 25).astype(np.float32)
+    ref = F.interpolate(torch.tensor(x), size=(100, 100), mode=mode,
+                        align_corners=False).numpy()
+    x_cl = np.transpose(x, (0, 2, 3, 1))
+    got = resize_align_corners(jnp.asarray(x_cl), (100, 100), method=method,
+                               align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_resize_half_pixel_trilinear():
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 2, 24, 24, 24).astype(np.float32)
+    ref = F.interpolate(torch.tensor(x), size=(48, 48, 48), mode="trilinear",
+                        align_corners=False).numpy()
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    got = resize_align_corners(jnp.asarray(x_cl), (48, 48, 48), method="linear",
+                               align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.transpose(ref, (0, 2, 3, 4, 1)),
+                               rtol=1e-4, atol=1e-4)

@@ -264,3 +264,20 @@ def test_gradient_finite_difference_check():
         fd = (perturbed(+1) - perturbed(-1)) / (2 * eps)
         an = float(g_leaves[li][idx]) if leaf.shape else float(g_leaves[li])
         np.testing.assert_allclose(an, fd, rtol=1e-5, atol=1e-7)
+
+
+def test_numpy_integrator_matches_jax_path():
+    """The pure-numpy f64 RK4 fallback (used when x64 is off) must match the
+    jitted jax integrator for every system."""
+    from percnn_tpu.data.simulate import _integrate, _integrate_np
+
+    for system, n, dt, dx in [("lambda_omega", 24, 0.0125, 0.2),
+                              ("gray_scott_2d", 24, 0.5, 0.01),
+                              ("burgers", 24, 0.00025, 0.01),
+                              ("gray_scott_3d", 8, 0.5, 100/48)]:
+        h0 = default_ic(system, n if system != "gray_scott_3d" else 8, seed=3)
+        a = _integrate_np(np.asarray(h0, np.float64), system=system,
+                          n_record=4, oversample=2, dx=dx, dt=dt)
+        b = np.asarray(_integrate(jnp.asarray(h0, jnp.float64), system=system,
+                                  n_record=4, oversample=2, dx=dx, dt=dt))
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)

@@ -6,7 +6,7 @@ per time step the 2-cell halo is refreshed over ICI (`lax.ppermute`,
 parallel/halo.py) and the local update is then purely device-local.  This
 kernel is that local update fused into one pallas_call (stencil + Pi +
 Euler on VPU), composing with `shard_map` exactly like the jnp valid-region
-step — see `parallel.sharded.sharded_rollout_2d(impl='pallas')`.
+step — see `parallel.sharded.sharded_rollout_nd(impl='pallas')`.
 
 Layout matches cell2d.py: channel-first [2, Hp, Wp], halo width 2, interior
 at [2:2+h, 2:2+w]; cross stencils never read halo corners.

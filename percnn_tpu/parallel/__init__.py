@@ -20,9 +20,10 @@ rather than across devices.
 """
 
 from percnn_tpu.parallel.mesh import make_mesh, factor_devices
-from percnn_tpu.parallel.halo import halo_exchange_2d
+from percnn_tpu.parallel.halo import halo_exchange
 from percnn_tpu.parallel.sharded import (
-    sharded_rollout_2d,
-    sharded_train_step,
+    sharded_rollout_nd,
     make_train_step_spmd,
+    shard_array,
+    replicate,
 )

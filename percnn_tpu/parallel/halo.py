@@ -1,10 +1,10 @@
 """Periodic halo exchange over the device mesh (inside shard_map).
 
 The reference's periodic padding (torch.cat of edge slices,
-train_2drd.py:108-109) becomes, under spatial decomposition, a neighbour
-exchange over ICI: each device sends its edge strips around the ring with
-`lax.ppermute`; the ring's wrap-around IS the global periodic BC, so no
-special-casing of boundary devices is needed.
+train_2drd.py:108-109; 3D variant train_3drd.py:125-127) becomes, under
+spatial decomposition, a neighbour exchange over ICI: each device sends its
+edge strips around the ring with `lax.ppermute`; the ring's wrap-around IS
+the global periodic BC, so no special-casing of boundary devices is needed.
 """
 
 from __future__ import annotations
@@ -34,36 +34,23 @@ def _exchange_axis(block: jnp.ndarray, array_axis: int, axis_name: str,
     return jnp.concatenate([recv_left, block, recv_right], axis=array_axis)
 
 
-def halo_exchange_2d(
+def halo_exchange(
     block: jnp.ndarray,
     *,
     halo: int = 2,
-    axis_names: tuple[str, str] = ("x", "y"),
-    axis_sizes: tuple[int, int],
-    array_axes: tuple[int, int] = (0, 1),
+    axis_names: tuple,
+    axis_sizes: tuple,
+    array_axes: tuple,
 ) -> jnp.ndarray:
-    """[h, w, C] local block -> [h+2r, w+2r, C] haloed block.
+    """Extend a local [*spatial, C] block by `halo` cells per side of every
+    listed axis, filled from ring neighbours (any spatial rank: 2D, 3D, ...).
 
-    The axes are exchanged sequentially: the second exchange sends strips of
-    the already-extended block, so the corner regions are filled with the
+    The axes are exchanged sequentially: each later exchange sends strips of
+    the already-extended block, so corner/edge regions are filled with the
     correct diagonal-neighbour values.  Full k x k kernels (the 5x5 Pi
     branches in parallel/sharded.py) may therefore read the corners; cross
     stencils simply never touch them.
     """
-    out = block
-    for arr_ax, name, size in zip(array_axes, axis_names, axis_sizes):
-        out = _exchange_axis(out, arr_ax, name, size, halo)
-    return out
-
-
-def halo_exchange_3d(
-    block: jnp.ndarray,
-    *,
-    halo: int = 2,
-    axis_names: tuple[str, str, str] = ("x", "y", "z"),
-    axis_sizes: tuple[int, int, int],
-    array_axes: tuple[int, int, int] = (0, 1, 2),
-) -> jnp.ndarray:
     out = block
     for arr_ax, name, size in zip(array_axes, axis_names, axis_sizes):
         out = _exchange_axis(out, arr_ax, name, size, halo)

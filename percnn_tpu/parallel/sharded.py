@@ -2,9 +2,10 @@
 
 Two complementary paths (SURVEY §2.3):
 
-1. `sharded_rollout_2d` — explicit domain decomposition: `shard_map` over a
-   ('x', 'y') mesh, each device scans its block locally, exchanging a
-   2-cell halo per step via `lax.ppermute` over ICI (parallel/halo.py).
+1. `sharded_rollout_nd` — explicit domain decomposition: `shard_map` over a
+   spatial mesh (('x','y') in 2D, ('x','y','z') in 3D), each device scans
+   its block locally, exchanging a 2-cell halo per step via `lax.ppermute`
+   over ICI (parallel/halo.py).
    Deterministic communication schedule, used for large-grid inference and
    as the template for the multi-chip Pallas kernel.
 
@@ -30,7 +31,7 @@ from percnn_tpu.core.cell import PiCellConfig, effective_diffusion, pi_block
 from percnn_tpu.core.rollout import rollout
 from percnn_tpu.ops.convs import conv_nd
 from percnn_tpu.ops.stencils import laplacian_valid
-from percnn_tpu.parallel.halo import halo_exchange_2d, halo_exchange_3d
+from percnn_tpu.parallel.halo import halo_exchange
 
 try:  # jax >= 0.7 exposes shard_map at top level
     from jax import shard_map as _shard_map
@@ -64,9 +65,8 @@ def pi_cell_step_haloed(
     path."""
     nd = cfg.ndim
     axes = tuple(range(nd))
-    exchange = halo_exchange_2d if nd == 2 else halo_exchange_3d
-    xp = exchange(block, halo=2, axis_names=axis_names, axis_sizes=axis_sizes,
-                  array_axes=axes)
+    xp = halo_exchange(block, halo=2, axis_names=axis_names,
+                       axis_sizes=axis_sizes, array_axes=axes)
     if impl == "pallas":
         from percnn_tpu.ops.pallas.sharded_step2d import pallas_step_haloed
 
@@ -92,24 +92,34 @@ def pi_cell_step_haloed(
     return block + cfg.dt * (diff * lap + nonlin)
 
 
-def sharded_rollout_2d(
+def sharded_rollout_nd(
     params: dict,
     h0: jnp.ndarray,
     cfg: PiCellConfig,
     n_steps: int,
     mesh: Mesh,
     *,
-    axis_names: tuple = ("x", "y"),
+    axis_names: tuple | None = None,
     remat: bool = True,
     impl: str = "jnp",
 ) -> jnp.ndarray:
-    """Domain-decomposed rollout: h0 [H, W, 2] (sharded or global) ->
-    frames [n_steps+1, H, W, 2] sharded over (x, y).
+    """Domain-decomposed rollout: h0 [*spatial, C] (sharded or global) ->
+    frames [n_steps+1, *spatial, C] sharded over the mesh's spatial axes.
+
+    Works for any spatial rank matching ``cfg.ndim`` (2D over ('x','y'),
+    3D over ('x','y','z'), ...).  ``axis_names`` defaults to the first
+    ``cfg.ndim`` mesh axis names.
 
     impl='pallas' runs each device's local step as the fused Pallas kernel
-    (halo exchange stays on the XLA side via ppermute)."""
+    (2D k=1 only; halo exchange stays on the XLA side via ppermute)."""
+    if axis_names is None:
+        axis_names = tuple(mesh.axis_names)[: cfg.ndim]
+    if len(axis_names) != cfg.ndim:
+        raise ValueError(
+            f"need {cfg.ndim} mesh axes for a {cfg.ndim}D rollout, got {axis_names}"
+        )
     sizes = tuple(mesh.shape[a] for a in axis_names)
-    state_spec = P(axis_names[0], axis_names[1], None)
+    state_spec = P(*axis_names, None)
 
     def run(p, block):
         step = lambda h: pi_cell_step_haloed(
@@ -136,24 +146,33 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def make_train_step_spmd(loss_fn, tx, mesh: Mesh):
-    """Jitted SPMD (GSPMD-partitioned) train step: sharding of every
-    intermediate follows from the input shardings.
+def make_train_step_spmd(loss_fn, tx, mesh: Mesh, *, param_spec: P = P()):
+    """Jitted SPMD (GSPMD-partitioned) train step.
+
+    Batch-array shardings propagate from the inputs; params, grads and
+    optimizer state are explicitly pinned to ``param_spec`` (replicated by
+    default) via sharding constraints, so correctness does not depend on
+    propagation even when params are donated or re-created inside jit.
 
     loss_fn(params, batch) -> (loss, aux); batch arrays carry NamedShardings.
     """
+    p_sharding = NamedSharding(mesh, param_spec)
+
+    def pin(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, p_sharding)
+            if hasattr(x, "ndim") else x,
+            tree,
+        )
 
     @jax.jit
     def step(params, opt_state, batch, lr):
+        params = pin(params)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        grads = pin(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, total, aux
+        params = pin(jax.tree_util.tree_map(lambda p, u: p + u, params, updates))
+        return params, pin(opt_state), total, aux
 
     return step
-
-
-def sharded_train_step(loss_fn, tx, mesh: Mesh):
-    """Alias with the historical name used by callers/tests."""
-    return make_train_step_spmd(loss_fn, tx, mesh)

@@ -12,7 +12,7 @@ from percnn_tpu.core.cell import PiCellConfig, init_pi_cell, pi_cell_step
 from percnn_tpu.core.rollout import rollout
 from percnn_tpu.parallel.mesh import factor_devices, make_mesh
 from percnn_tpu.parallel.sharded import (
-    sharded_rollout_2d,
+    sharded_rollout_nd,
     shard_array,
     replicate,
     make_train_step_spmd,
@@ -40,7 +40,7 @@ def test_sharded_rollout_matches_single_device(kernel_size):
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 32, 2), jnp.float32)
     ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 5, remat=False)
     mesh = make_mesh(("x", "y"), shape=(2, 4))
-    got = sharded_rollout_2d(params, h0, cfg, 5, mesh)
+    got = sharded_rollout_nd(params, h0, cfg, 5, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
@@ -50,7 +50,7 @@ def test_sharded_rollout_uneven_mesh():
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (24, 16, 2), jnp.float32)
     ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 4, remat=False)
     mesh = make_mesh(("x", "y"), shape=(4, 2))
-    got = sharded_rollout_2d(params, h0, cfg, 4, mesh)
+    got = sharded_rollout_nd(params, h0, cfg, 4, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
@@ -104,6 +104,30 @@ def test_data_parallel_vmap_rollout():
     ref0 = rollout(lambda x: pi_cell_step(params, x, cfg), batch[0], 3, remat=False)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0), rtol=1e-5, atol=1e-6)
 
+@pytest.mark.parametrize("kernel_size", [1, 5])
+def test_sharded_rollout_3d_matches_single_device(kernel_size):
+    """3D domain decomposition on a (2,2,2) mesh == single-device rollout."""
+    cfg = PiCellConfig(ndim=3, hidden=4, kernel_size=kernel_size, dt=0.01,
+                       dx=0.1, diffusion="raw", diff_init=0.05, init_scale=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (8, 12, 16, 2), jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 3, remat=False)
+    mesh = make_mesh(("x", "y", "z"), shape=(2, 2, 2))
+    got = sharded_rollout_nd(params, h0, cfg, 3, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rollout_nd_axis_names_default_from_mesh():
+    """axis_names defaults to the first ndim mesh axes; extra axes ignored."""
+    cfg = _cfg(1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (16, 16, 2), jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 3, remat=False)
+    mesh = make_mesh(("x", "y"), shape=(2, 4))
+    got = sharded_rollout_nd(params, h0, cfg, 3, mesh, axis_names=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_rollout_pallas_impl_matches():
     """Halo exchange (ppermute) + local fused Pallas step == single device."""
     cfg = _cfg(1)
@@ -111,5 +135,5 @@ def test_sharded_rollout_pallas_impl_matches():
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (16, 32, 2), jnp.float32)
     ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 4, remat=False)
     mesh = make_mesh(("x", "y"), shape=(2, 4))
-    got = sharded_rollout_2d(params, h0, cfg, 4, mesh, impl="pallas")
+    got = sharded_rollout_nd(params, h0, cfg, 4, mesh, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)

@@ -45,6 +45,13 @@ def save_checkpoint(path: str, tree: Any, meta: dict | None = None) -> None:
         raise
 
 
+def peek_meta(path: str) -> dict:
+    """Read only the JSON metadata of a checkpoint (no tree template
+    needed) — used e.g. to recover the curriculum stage before resuming."""
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(str(z["__meta__"]))
+
+
 def load_checkpoint(path: str, like: Any):
     """Load into the structure of `like`; returns (tree, meta).
 

@@ -50,6 +50,14 @@ def rollout(
     """
     if n_steps == 0:
         return h0[None]
+    if segment is None and remat and n_steps > 4 \
+            and _pick_segment(n_steps) == 1:
+        # prime n_steps has no useful divisor: segment=1 would checkpoint
+        # every step (maximal recompute).  Peel one step off the front so
+        # the remaining (even) count gets ~sqrt(T) segments.
+        h1 = step_fn(h0)
+        rest = rollout(step_fn, h1, n_steps - 1, remat=remat)
+        return jnp.concatenate([h0[None], rest], axis=0)
     seg = segment if segment is not None else _pick_segment(n_steps)
     if n_steps % seg != 0:
         raise ValueError(f"segment {seg} must divide n_steps {n_steps}")

@@ -86,10 +86,13 @@ def train(
     *,
     resume: bool = False,
     logger: MetricsLogger | None = None,
+    extra_meta: dict | None = None,
 ) -> tuple:
     """Run the training loop.
 
     loss_fn(params) -> (total_loss, aux_dict of scalar metrics).
+    extra_meta: caller bookkeeping merged into every checkpoint's metadata
+    (e.g. the curriculum stage index, so resume re-enters the right stage).
     Returns (best-or-final params, loss_history list).
     """
     tx = optax.scale_by_adam()
@@ -131,7 +134,8 @@ def train(
     def save(path_suffix=""):
         if cfg.ckpt_path:
             path = cfg.ckpt_path + path_suffix
-            save_checkpoint(path, state.as_tree(), state.meta())
+            save_checkpoint(path, state.as_tree(),
+                            {**state.meta(), **(extra_meta or {})})
 
     try:
         while state.iteration < cfg.n_iters:

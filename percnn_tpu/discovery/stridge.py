@@ -168,3 +168,42 @@ def pareto_sweep(
         ls_loss.append(float(np.mean((y_full - R_full @ w) ** 2)))
         l0_count.append(int(np.count_nonzero(w)))
     return np.asarray(gammas), np.asarray(ls_loss), np.asarray(l0_count), ws
+
+
+def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray) -> int:
+    """Index of the Pareto-front knee of (||w||_0, LS loss).
+
+    The reference selects gamma by eye from the front plot (LO Stage-2
+    PDE_FIND_u.py:297-335 saves select_gamma_u.png); this automates the
+    pick: keep the Pareto-efficient points, min-max normalise both axes
+    (log10 on the loss, which spans decades) and take the point closest to
+    the utopia corner (0, 0)."""
+    ls = np.asarray(ls_loss, float)
+    l0 = np.asarray(l0_count, float)
+    eff = []
+    for i in range(len(ls)):
+        if l0[i] == 0:
+            continue
+        dominated = np.any((ls <= ls[i]) & (l0 <= l0[i])
+                           & ((ls < ls[i]) | (l0 < l0[i])) & (l0 > 0))
+        if not dominated:
+            eff.append(i)
+    if not eff:
+        return int(np.argmin(ls))
+    eff = np.asarray(eff)
+    log_ls = np.log10(np.maximum(ls[eff], 1e-300))
+    span = lambda x: (x - x.min()) / max(x.max() - x.min(), 1e-12)
+    d = span(log_ls) ** 2 + span(l0[eff]) ** 2
+    return int(eff[np.argmin(d)])
+
+
+def pareto_select(trainer: STRidge, **sweep_kwargs):
+    """Full reference LO Stage-2 protocol: gamma sweep + knee selection.
+
+    Returns (w, info) where info carries the sweep arrays and the selected
+    gamma for reporting/plotting."""
+    gammas, ls_loss, l0_count, ws = pareto_sweep(trainer, **sweep_kwargs)
+    i = pareto_knee(ls_loss, l0_count)
+    info = {"gammas": gammas, "ls_loss": ls_loss, "l0_count": l0_count,
+            "selected_gamma": float(gammas[i]), "selected_index": i}
+    return ws[i], info

@@ -57,7 +57,7 @@ FORWARD_SIM_LO = ExperimentConfig(
     isg=None,
     data=None,
     train=TrainConfig(n_iters=2000, lr=1e-2, lr_step=25, lr_gamma=0.98,
-                      watchdog=False),
+                      watchdog=False, steps_per_call=25),
     loss_weights={"phy": 1.0},
     noise_pct=0.0,
 )
@@ -81,7 +81,7 @@ GS2D_RECON = ExperimentConfig(
     isg=ISGConfig(ndim=2, hidden=8, strides=(2, 2), activation="sigmoid"),
     data=DataLossConfig(time_stride=20, space_stride=4, val_frac=0.1),
     train=TrainConfig(n_iters=6000, lr=1e-3, lr_step=200, lr_gamma=0.985,
-                      watchdog=False),
+                      watchdog=False, steps_per_call=10),
     loss_weights={"data": 40.0, "ic": 0.25},
     noise_pct=0.1,
     interp_method="cubic",
@@ -107,7 +107,7 @@ GS3D_RECON = ExperimentConfig(
     data=DataLossConfig(time_stride=15, space_stride=2, val_frac=0.0,
                         drop_last_frame=True),
     train=TrainConfig(n_iters=12000, lr=2e-3, lr_step=250, lr_gamma=0.975,
-                      watchdog=True, watchdog_key="phy"),
+                      watchdog=True, watchdog_key="phy", steps_per_call=10),
     loss_weights={"data": 10.0, "ic": 5.0},
     noise_pct=0.1,
     interp_method="linear",
@@ -131,7 +131,7 @@ BURGERS_STAGE1 = ExperimentConfig(
     isg=ISGConfig(ndim=2, hidden=16, strides=(2,), activation="tanh"),
     data=DataLossConfig(time_stride=5, space_stride=2, val_frac=0.1),
     train=TrainConfig(n_iters=10000, lr=2e-3, lr_step=200, lr_gamma=0.97,
-                      best_val=True),
+                      best_val=True, steps_per_call=5),
     loss_weights={"data": 1.0, "ic": 1.0},
     noise_pct=0.05,
     interp_method="cubic",
@@ -156,7 +156,7 @@ LO_STAGE1 = ExperimentConfig(
     isg=ISGConfig(ndim=2, hidden=16, strides=(2,), activation="tanh"),
     data=DataLossConfig(time_stride=5, space_stride=2, val_frac=0.1),
     train=TrainConfig(n_iters=15000, lr=2e-3, lr_step=200, lr_gamma=0.97,
-                      best_val=True),
+                      best_val=True, steps_per_call=5),
     loss_weights={"data": 1.0, "ic": 1.0},
     noise_pct=0.1,
     interp_method="cubic",

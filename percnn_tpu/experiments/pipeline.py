@@ -20,7 +20,7 @@ from percnn_tpu.core.cell import SymbolicCellConfig
 from percnn_tpu.core.train import TrainConfig
 from percnn_tpu.data.io import save_npz
 from percnn_tpu.discovery.library import build_design_matrix
-from percnn_tpu.discovery.stridge import STRidge, discovery_metrics
+from percnn_tpu.discovery.stridge import STRidge, discovery_metrics, pareto_select
 from percnn_tpu.experiments.configs import ExperimentConfig
 from percnn_tpu.experiments.runner import make_dataset, run_experiment
 from percnn_tpu.experiments.stage3 import Stage3Config, run_stage3
@@ -122,9 +122,22 @@ def run_discovery_pipeline(
         frames = slice(0, recon.shape[0])
     R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx, frames=frames,
                                            subsample=0.2, seed=seed)
-    w_u = STRidge(R, Ut).train(must_have=5, **kw)
-    w_v = STRidge(R, Vt).train(must_have=6, **kw)
-    s2 = {"w_u": w_u, "w_v": w_v, "names": names}
+    if exp.system == "lambda_omega":
+        # Reference LO Stage-2 protocol: NO must_have protection
+        # (LO stage-2 PDE_FIND_u.py:49) and the l0 weight gamma selected by
+        # the Pareto-front sweep (:297-335; knee picked automatically).
+        sweep_kw = dict(maxit=kw["maxit"], stridge_iters=kw["stridge_iters"],
+                        lam=kw["lam"], d_tol=kw["d_tol"])
+        w_u, pareto_u = pareto_select(STRidge(R, Ut), **sweep_kw)
+        w_v, pareto_v = pareto_select(STRidge(R, Vt), **sweep_kw)
+        s2 = {"w_u": w_u, "w_v": w_v, "names": names,
+              "pareto_u": pareto_u, "pareto_v": pareto_v}
+    else:
+        # Burgers Stage-2 protects the diffusion column (must_have, its
+        # PDE_FIND trainer) and uses a fixed kappa.
+        w_u = STRidge(R, Ut).train(must_have=5, **kw)
+        w_v = STRidge(R, Vt).train(must_have=6, **kw)
+        s2 = {"w_u": w_u, "w_v": w_v, "names": names}
     if truth_terms is None:
         truth_terms = TRUTH_TERMS.get(exp.system)
     if truth_terms:
@@ -136,8 +149,16 @@ def run_discovery_pipeline(
         for t, c in truth_terms.get("v", {}).items():
             coef_true_v[lib.index(t)] = c
         s2["metrics_v"] = discovery_metrics(w_v, coef_true_v)
+    extra = {}
+    for eq in ("u", "v"):
+        pr = s2.get(f"pareto_{eq}")
+        if pr:
+            extra.update({f"pareto_gammas_{eq}": pr["gammas"],
+                          f"pareto_ls_{eq}": pr["ls_loss"],
+                          f"pareto_l0_{eq}": pr["l0_count"],
+                          f"pareto_gamma_{eq}": pr["selected_gamma"]})
     np.savez(os.path.join(out_dir, f"{exp.name}.stage2_coefs.npz"),
-             w_u=w_u, w_v=w_v, names=np.asarray(names))
+             w_u=w_u, w_v=w_v, names=np.asarray(names), **extra)
 
     # ---- Stage 3: symbolic fine-tune ----------------------------------
     cell, coef_init, nu_init = identified_to_symbolic(

@@ -125,8 +125,11 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
     if bptt == "auto":
         aligned3d = (cell.ndim == 3 and h0.shape[0] % 8 == 0
                      and (h0.shape[1] * h0.shape[2]) % 128 == 0)
-        fused_ok = (cell.kernel_size == 1 and cell.n_branches == 3
-                    and h0.dtype == jnp.float32
+        # 2D kernels fuse any odd Pi kernel with radius <= the in-state halo
+        # (1x1 and the Burgers/LO 5x5); 3D fusion is k=1 only.
+        fusable_k = (cell.kernel_size % 2 == 1 and cell.kernel_size <= 5
+                     if cell.ndim == 2 else cell.kernel_size == 1)
+        fused_ok = (fusable_k and h0.dtype == jnp.float32
                     and jax.default_backend() == "tpu"
                     and (cell.ndim == 2 or aligned3d))
         bptt = "fused" if fused_ok else "two_phase"
@@ -151,9 +154,13 @@ def _cell_step_for(cell_cfg):
     return lambda p, h: pi_cell_step(p, h, cell_cfg)
 
 
-def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto"):
+def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto",
+                  rollout_fn=None):
     """Composite loss per the experiment's weights; aux carries every
-    component plus 'val' (holdout data MSE) and 'phy' (residual metric)."""
+    component plus 'val' (holdout data MSE) and 'phy' (residual metric).
+
+    rollout_fn(params) -> frames overrides forward_rollout (used by the
+    ensemble trainer to inject the member-batched fused rollout)."""
     exp = prob.exp
     w = exp.loss_weights
     system = PDE_SYSTEMS[exp.system]
@@ -165,7 +172,8 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto"):
             "has no measurement (no data config / ISG-free setup)")
 
     def loss_fn(params):
-        frames = forward_rollout(params, prob, n_steps, bptt=bptt)
+        frames = (rollout_fn(params) if rollout_fn is not None
+                  else forward_rollout(params, prob, n_steps, bptt=bptt))
         total = jnp.zeros((), frames.dtype)
         aux = {}
         if prob.measurement is not None:
@@ -223,12 +231,12 @@ def inference_rollout(params: dict, prob: Problem, n_steps: int) -> jnp.ndarray:
     else:
         h0 = prob.h0
     cell = exp.cell
-    if cell.kernel_size == 1 and h0.dtype == jnp.float32:
+    if h0.dtype == jnp.float32:
         try:
             if cell.ndim == 2:
                 from percnn_tpu.ops.pallas.cell2d import fused_rollout_2d
                 return fused_rollout_2d(params["cell"], h0, cell, n_steps)
-            if cell.ndim == 3:
+            if cell.ndim == 3 and cell.kernel_size == 1:
                 from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
                 return fused_rollout_3d(params["cell"], h0, cell, n_steps)
         except (ValueError, NotImplementedError):
@@ -272,11 +280,9 @@ def run_experiment(
 
     resume=True reloads params/optimizer from the experiment checkpoint and
     continues (the reference's cont/restart flag, train_2drd.py:432-439);
-    the ISG pretrain is skipped on resume.  Limitation: the checkpoint
-    records the iteration within its curriculum stage, not the stage index —
-    resuming a multi-stage curriculum re-enters stage 0 (matching the
-    reference's manual workflow of editing `steps` and re-launching with
-    cont=True).
+    the ISG pretrain is skipped on resume.  The checkpoint metadata records
+    the curriculum stage index, so a resumed multi-stage run re-enters the
+    stage it died in (at its saved iteration) instead of repeating stage 0.
     """
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.metrics.jsonl"),
@@ -296,18 +302,28 @@ def run_experiment(
     stages = list(exp.curriculum) + [exp.train_steps]
     n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters
     per_stage = max(1, n_total // len(stages))
+    ckpt_path = os.path.join(out_dir, f"{exp.name}.ckpt.npz")
+    start_stage = 0
+    if resume and os.path.exists(ckpt_path):
+        from percnn_tpu.core.checkpoint import peek_meta
+
+        start_stage = min(int(peek_meta(ckpt_path).get("stage", 0)),
+                          len(stages) - 1)
     history = []
     for i, steps in enumerate(stages):
+        if i < start_stage:
+            continue
         tcfg = dataclasses.replace(
             exp.train,
             n_iters=per_stage if i < len(stages) - 1 else n_total - per_stage * (len(stages) - 1),
-            ckpt_path=os.path.join(out_dir, f"{exp.name}.ckpt.npz"),
+            ckpt_path=ckpt_path,
             log_path=None,
             **({"steps_per_call": steps_per_call} if steps_per_call else {}),
         )
         loss_fn = build_loss_fn(prob, steps)
         params, h = train(loss_fn, params, tcfg, logger=logger,
-                          resume=resume and i == 0)
+                          resume=resume and i == start_stage,
+                          extra_meta={"stage": i})
         history.extend(h)
 
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))

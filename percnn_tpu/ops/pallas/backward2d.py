@@ -30,8 +30,11 @@ from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
 from percnn_tpu.core.rollout import chunked_param_grads
 from percnn_tpu.ops.pallas.cell2d import (
     HALO,
+    _COMPILER_PARAMS,
+    _check_fusable,
     _interior,
     _lap,
+    _param_block,
     _refresh_halos,
     pack_pi_params_2d,
     pad_state_2d,
@@ -41,41 +44,98 @@ from percnn_tpu.ops.pallas.cell2d import (
 )
 
 
-def _pi_jacobian_T(ui, vi, gu, gv, p, C: int, blocks: tuple):
-    """(J_Pi)^T applied to (gu, gv) on interior planes.
+def _pi_jacobian_T(up, vp, gu, gv, p, cfg: PiCellConfig, H: int, W: int,
+                   sz_ref):
+    """(J_Pi)^T applied to (gu, gv); returns interior (du_bar, dv_bar).
 
-    For each output channel o with branch affine forms y_i = w_i0*u +
-    w_i1*v + b_i:  d pi_o / du = sum_c wout[c] * sum_i w_i0[c] *
-    prod_{j != i} y_j[c].  Returns (du_bar, dv_bar)."""
-    du_acc = None
-    dv_acc = None
-    for base, g in zip(blocks, (gu, gv)):
-        stride = 3 * C
-        for c in range(C):
-            ys = []
-            w_u = []
-            w_v = []
-            for i in range(3):
-                off = base + i * stride
-                ys.append(p[off + c] * ui + p[off + C + c] * vi + p[off + 2 * C + c])
-                w_u.append(p[off + c])
-                w_v.append(p[off + C + c])
-            p01 = ys[0] * ys[1]
-            p02 = ys[0] * ys[2]
-            p12 = ys[1] * ys[2]
-            wo = p[base + 3 * stride + c]
-            du = w_u[0] * p12 + w_u[1] * p02 + w_u[2] * p01
-            dv = w_v[0] * p12 + w_v[1] * p02 + w_v[2] * p01
-            t_u = wo * du * g
-            t_v = wo * dv * g
-            du_acc = t_u if du_acc is None else du_acc + t_u
-            dv_acc = t_v if dv_acc is None else dv_acc + t_v
-    return du_acc, dv_acc
+    up/vp are PADDED state planes (valid halo incl. corners), gu/gv interior
+    cotangents.  For each output o, hidden channel c and branch i with
+    y_{i,c} = conv_k(w_i)(u, v) + b_i, the adjoint of the branch conv is the
+    correlation with REVERSED taps applied to
+        z = w_out[c] * g_o * prod_{j != i} y_{j,c}.
+    z is only known on the interior; since the fields are periodic, z's halo
+    equals the wrapped interior, so it is refreshed into `sz_ref` and read
+    back with reversed shifts (k=1 needs no shift and skips the scratch)."""
+    k = cfg.kernel_size
+    r = k // 2
+    C = cfg.hidden
+    nb = cfg.n_branches
+    wsize = k * k * 2 * C
+    stride = wsize + C
+    block = _param_block(cfg)
+
+    if k == 1:
+        # pointwise fast path: fully unrolled (small body, no scratch)
+        du_acc = None
+        dv_acc = None
+        for base, g in zip((2, 2 + block), (gu, gv)):
+            for c in range(C):
+                ys = []
+                for i in range(nb):
+                    off = base + i * stride
+                    ys.append(p[off + c] * _interior(up, 0, 0, H, W)
+                              + p[off + C + c] * _interior(vp, 0, 0, H, W)
+                              + p[off + wsize + c])
+                wo = p[base + nb * stride + c]
+                for i in range(nb):
+                    pexc = None
+                    for j in range(nb):
+                        if j != i:
+                            pexc = ys[j] if pexc is None else pexc * ys[j]
+                    z = wo * g if pexc is None else wo * g * pexc
+                    off = base + i * stride
+                    du = p[off + c] * z
+                    dv = p[off + C + c] * z
+                    du_acc = du if du_acc is None else du_acc + du
+                    dv_acc = dv if dv_acc is None else dv_acc + dv
+        return du_acc, dv_acc
+
+    # k > 1: fori_loop over (output o, hidden channel c) with dynamic SMEM
+    # weight reads — keeps the unrolled body ~50 taps instead of ~5000, or
+    # Mosaic's register allocator drowns in spill slots (C=16 k=5 needed
+    # 169M of spill VMEM fully unrolled).
+    def oc_body(idx, accs):
+        du_acc, dv_acc = accs
+        o = idx // C
+        c = idx % C
+        base = 2 + o * block
+        g = jnp.where(o == 0, gu, gv)
+        ys = []
+        for i in range(nb):
+            off = base + i * stride
+            y = None
+            for ki in range(k):
+                for kj in range(k):
+                    tap = (ki * k + kj) * 2 * C
+                    term = (p[off + tap + c] * _interior(up, ki - r, kj - r, H, W)
+                            + p[off + tap + C + c] * _interior(vp, ki - r, kj - r, H, W))
+                    y = term if y is None else y + term
+            ys.append(y + p[off + wsize + c])
+        wo = p[base + nb * stride + c]
+        for i in range(nb):
+            pexc = None
+            for j in range(nb):
+                if j != i:
+                    pexc = ys[j] if pexc is None else pexc * ys[j]
+            z = wo * g if pexc is None else wo * g * pexc
+            _refresh_halos(sz_ref, z, H, W)
+            zp = sz_ref[:, :]
+            off = base + i * stride
+            for ki in range(k):
+                for kj in range(k):
+                    tap = (ki * k + kj) * 2 * C
+                    sz = _interior(zp, r - ki, r - kj, H, W)
+                    du_acc = du_acc + p[off + tap + c] * sz
+                    dv_acc = dv_acc + p[off + tap + C + c] * sz
+        return du_acc, dv_acc
+
+    zero = jnp.zeros((H, W), jnp.float32)
+    return jax.lax.fori_loop(0, 2 * C, oc_body, (zero, zero))
 
 
 def _phase1_kernel(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
-                   sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int, W: int,
-                   n_steps: int):
+                   sgu_ref, sgv_ref, sz_ref, *, cfg: PiCellConfig, H: int,
+                   W: int, n_steps: int):
     k = pl.program_id(0)  # walks 0..T-1; index maps deliver t = T-1-k
 
     @pl.when(k == 0)
@@ -83,8 +143,6 @@ def _phase1_kernel(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
         sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
         sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
 
-    C = cfg.hidden
-    block = 3 * (3 * C) + C + 1
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
 
     # g_in = g + frames_bar[t+1]  (interior values; halos refreshed below)
@@ -100,9 +158,10 @@ def _phase1_kernel(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
     gv = sgv_ref[:, :]
     lap_gu = _lap(gu, H, W, inv_dx2)
     lap_gv = _lap(gv, H, W, inv_dx2)
-    ui = frames_ref[0, 0, HALO:HALO + H, HALO:HALO + W]
-    vi = frames_ref[0, 1, HALO:HALO + H, HALO:HALO + W]
-    jtu, jtv = _pi_jacobian_T(ui, vi, gu_in_i, gv_in_i, p_ref, C, (2, 2 + block))
+    up = frames_ref[0, 0, :, :]
+    vp = frames_ref[0, 1, :, :]
+    jtu, jtv = _pi_jacobian_T(up, vp, gu_in_i, gv_in_i, p_ref, cfg, H, W,
+                              sz_ref)
     gu_prev = gu_in_i + cfg.dt * (p_ref[0] * lap_gu + jtu)
     gv_prev = gv_in_i + cfg.dt * (p_ref[1] * lap_gv + jtv)
     _refresh_halos(sgu_ref, gu_prev, H, W)
@@ -142,8 +201,10 @@ def _fused_phase1(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W, interpret
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.float32),
             pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),  # z plane for k>1 adjoint convs
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(packed, frames_pad, fbar_pad)
     return gins, g0
 
@@ -172,9 +233,7 @@ def fused_rollout_tp_2d(params, h0, cfg: PiCellConfig, n_steps: int,
 
 
 def _forward(params, h0, cfg, n_steps):
-    if cfg.kernel_size != 1 or cfg.n_branches != 3:
-        raise NotImplementedError(
-            "fused trainable rollout supports kernel_size=1, n_branches=3 Pi cells")
+    _check_fusable(cfg)
     interpret = jax.default_backend() != "tpu"
     H, W = h0.shape[0], h0.shape[1]
     packed = pack_pi_params_2d(params, cfg)

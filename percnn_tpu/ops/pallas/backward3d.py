@@ -17,12 +17,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
 from percnn_tpu.core.rollout import chunked_param_grads
-from percnn_tpu.ops.pallas.backward2d import _pi_jacobian_T
 from percnn_tpu.ops.pallas.cell3d import (
     _fused_rollout3d_flat,
     _lap3d_flat,
     pack_pi_params_3d,
 )
+
+
+def _pi_jacobian_T_pointwise(ui, vi, gu, gv, p, C: int, blocks: tuple):
+    """(J_Pi)^T for the POINTWISE (k=1) Pi block on full planes.
+
+    For each output channel o with branch affine forms y_i = w_i0*u +
+    w_i1*v + b_i:  d pi_o / du = sum_c wout[c] * sum_i w_i0[c] *
+    prod_{j != i} y_j[c].  Returns (du_bar, dv_bar)."""
+    du_acc = None
+    dv_acc = None
+    for base, g in zip(blocks, (gu, gv)):
+        stride = 3 * C
+        for c in range(C):
+            ys = []
+            w_u = []
+            w_v = []
+            for i in range(3):
+                off = base + i * stride
+                ys.append(p[off + c] * ui + p[off + C + c] * vi + p[off + 2 * C + c])
+                w_u.append(p[off + c])
+                w_v.append(p[off + C + c])
+            p01 = ys[0] * ys[1]
+            p02 = ys[0] * ys[2]
+            p12 = ys[1] * ys[2]
+            wo = p[base + 3 * stride + c]
+            du = w_u[0] * p12 + w_u[1] * p02 + w_u[2] * p01
+            dv = w_v[0] * p12 + w_v[1] * p02 + w_v[2] * p01
+            t_u = wo * du * g
+            t_v = wo * dv * g
+            du_acc = t_u if du_acc is None else du_acc + t_u
+            dv_acc = t_v if dv_acc is None else dv_acc + t_v
+    return du_acc, dv_acc
 
 
 def _phase1_kernel3d(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
@@ -48,7 +79,8 @@ def _phase1_kernel3d(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
     lap_gv = _lap3d_flat(gv_in, D, H, W, inv_dx2)
     ui = frames_ref[0, 0, :, :]
     vi = frames_ref[0, 1, :, :]
-    jtu, jtv = _pi_jacobian_T(ui, vi, gu_in, gv_in, p_ref, C, (2, 2 + block))
+    jtu, jtv = _pi_jacobian_T_pointwise(ui, vi, gu_in, gv_in, p_ref, C,
+                                        (2, 2 + block))
     sgu_ref[:, :] = gu_in + cfg.dt * (p_ref[0] * lap_gu + jtu)
     sgv_ref[:, :] = gv_in + cfg.dt * (p_ref[1] * lap_gv + jtv)
 

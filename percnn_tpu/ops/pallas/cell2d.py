@@ -9,13 +9,16 @@ One `pallas_call` executes the ENTIRE T-step recurrence:
   with a 2-cell periodic halo.  All stencils in the cell are 5-point crosses
   (reference lap_2d_op, train_2drd.py:20-24), so corners are never read and
   halo refresh is 4 strip copies per step;
-- the Pi-block's 1x1 branches unroll to static VPU fused-multiply-adds over
-  the [Hp, Wp] planes (hidden C is small and static);
+- the Pi-block's branch convs unroll to static VPU fused-multiply-adds over
+  the [Hp, Wp] planes: 1x1 branches are 2 taps per hidden channel, k x k
+  branches are k*k*2 shifted-plane taps (the same halo covers radius <= 2,
+  with corners refreshed for full kernels);
 - every frame is written to HBM through the output pipeline (double-buffered
   by Pallas) — the kernel streams [T, Hp, Wp, 2] while computing.
 
-Equivalent math to `percnn_tpu.core.cell.pi_cell_step` (kernel_size=1
-variants: LO forward C=4, GS 2D C=8); parity-tested against the jnp path.
+Equivalent math to `percnn_tpu.core.cell.pi_cell_step` for kernel_size
+1/3/5 (LO forward C=4 k=1, GS 2D C=8 k=1, Burgers/LO Stage-1 C=16 k=5,
+rcnn_Burgers...py:108-129,161-173); parity-tested against the jnp path.
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from percnn_tpu.core.cell import PiCellConfig, effective_diffusion
 
 HALO = 2
+
+# The k=5 C=16 kernels unroll ~5k shifted-plane FMAs per step; Mosaic's
+# default 16MB scoped-VMEM stack is too small for their live temporaries.
+# Single-field state + streamed IO leave most of the chip's VMEM free.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,11 +66,18 @@ def unpad_frames_2d(frames: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return jnp.moveaxis(frames[:, :, HALO : HALO + H, HALO : HALO + W], 1, -1)
 
 
+def _param_block(cfg: PiCellConfig) -> int:
+    """Per-output-channel length of the packed parameter vector."""
+    wsize = cfg.kernel_size ** 2 * cfg.channels * cfg.hidden
+    return cfg.n_branches * (wsize + cfg.hidden) + cfg.hidden + 1
+
+
 def pack_pi_params_2d(params: dict, cfg: PiCellConfig) -> jnp.ndarray:
     """Flatten cell params to one f32 vector for SMEM.
 
-    Layout: [Du, Dv] then per output channel: (w0[2C], b0[C], w1[2C], b1[C],
-    w2[2C], b2[C], w_out[C], b_out[1]).  Diffusion reparametrisation
+    Layout: [Du, Dv] then per output channel: per branch (w_i row-major
+    (ki, kj, cin, c) — [2C] for kernel_size=1, [k*k*2C] for k x k — then
+    b_i [C]), then w_out[C], b_out[1].  Diffusion reparametrisation
     (mu_up*sigmoid) is applied here so the kernel sees plain coefficients.
     """
     parts = [effective_diffusion(params, cfg).reshape(-1)]
@@ -74,6 +89,17 @@ def pack_pi_params_2d(params: dict, cfg: PiCellConfig) -> jnp.ndarray:
         parts.append(br["w_out"].reshape(-1))
         parts.append(br["b_out"].reshape(-1))
     return jnp.concatenate([p.astype(jnp.float32) for p in parts])
+
+
+def _check_fusable(cfg: PiCellConfig) -> None:
+    """The fused kernels handle any odd Pi kernel whose radius fits in the
+    2-cell in-state halo (1x1, 3x3, 5x5 — reference uses 1 and 5)."""
+    if cfg.kernel_size % 2 == 0 or cfg.kernel_size // 2 > HALO:
+        raise NotImplementedError(
+            f"fused kernel supports odd kernel_size <= {2 * HALO + 1}, "
+            f"got {cfg.kernel_size}")
+    if cfg.channels != 2:
+        raise NotImplementedError("fused kernel assumes 2 state channels (u, v)")
 
 
 def _interior(x, di: int, dj: int, H: int, W: int):
@@ -90,25 +116,41 @@ def _lap(x, H: int, W: int, inv_dx2: float):
     return (-5.0 * c + (4.0 / 3.0) * s1 - (1.0 / 12.0) * s2) * inv_dx2
 
 
-def _pi_poly(u, v, p, base: int, C: int):
-    """Unrolled Pi-block on interior planes: returns [H, W]."""
-    # branch weights at p[base + ...]: w_i is [2, C] row-major
+def _pi_poly(up, vp, p, base: int, cfg: PiCellConfig, H: int, W: int):
+    """Unrolled Pi-block on PADDED planes: returns interior [H, W].
+
+    Branch convs (k x k cross-correlation, torch Conv2d semantics) unroll
+    to k*k*2 shifted-plane FMAs per hidden channel; the in-state halo
+    (radius 2 >= k//2) with filled corners makes every shifted read valid."""
+    k = cfg.kernel_size
+    r = k // 2
+    C = cfg.hidden
+    wsize = k * k * 2 * C
+    stride = wsize + C  # per-branch block (weights + bias)
     acc = None
-    stride = 3 * C  # per-branch block size (2C weights + C bias)
     for c in range(C):
         prod = None
-        for i in range(3):
+        for i in range(cfg.n_branches):
             off = base + i * stride
-            y = p[off + c] * u + p[off + C + c] * v + p[off + 2 * C + c]
+            y = None
+            for ki in range(k):
+                for kj in range(k):
+                    tap = (ki * k + kj) * 2 * C
+                    su = _interior(up, ki - r, kj - r, H, W)
+                    sv = _interior(vp, ki - r, kj - r, H, W)
+                    term = p[off + tap + c] * su + p[off + tap + C + c] * sv
+                    y = term if y is None else y + term
+            y = y + p[off + wsize + c]
             prod = y if prod is None else prod * y
-        term = p[base + 3 * stride + c] * prod
+        term = p[base + cfg.n_branches * stride + c] * prod
         acc = term if acc is None else acc + term
-    return acc + p[base + 3 * stride + C]
+    return acc + p[base + cfg.n_branches * stride + C]
 
 
 def _refresh_halos(ref, interior, H: int, W: int):
     """Write `interior` [H, W] into padded `ref` and refresh the periodic
-    edge strips (corners unused by cross stencils)."""
+    edge strips and corners (full k x k kernels read the corners; cross
+    stencils never touch them)."""
     ref[HALO : HALO + H, HALO : HALO + W] = interior
     # row halos (top/bottom): copy opposite interior rows
     ref[0:HALO, HALO : HALO + W] = interior[H - HALO : H, :]
@@ -116,6 +158,11 @@ def _refresh_halos(ref, interior, H: int, W: int):
     # column halos (left/right)
     ref[HALO : HALO + H, 0:HALO] = interior[:, W - HALO : W]
     ref[HALO : HALO + H, HALO + W : 2 * HALO + W] = interior[:, 0:HALO]
+    # corners: diagonal-neighbour wrap
+    ref[0:HALO, 0:HALO] = interior[H - HALO : H, W - HALO : W]
+    ref[0:HALO, HALO + W : 2 * HALO + W] = interior[H - HALO : H, 0:HALO]
+    ref[HALO + H : 2 * HALO + H, 0:HALO] = interior[0:HALO, W - HALO : W]
+    ref[HALO + H : 2 * HALO + H, HALO + W : 2 * HALO + W] = interior[0:HALO, 0:HALO]
 
 
 def _rollout_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *, cfg: PiCellConfig,
@@ -130,15 +177,14 @@ def _rollout_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *, cfg: PiCellConf
     u = su_ref[:, :]
     v = sv_ref[:, :]
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
-    C = cfg.hidden
     # params: [Du, Dv, pi_u block, pi_v block]
-    block = 3 * (3 * C) + C + 1
+    block = _param_block(cfg)
     lap_u = _lap(u, H, W, inv_dx2)
     lap_v = _lap(v, H, W, inv_dx2)
     ui = _interior(u, 0, 0, H, W)
     vi = _interior(v, 0, 0, H, W)
-    pi_u = _pi_poly(ui, vi, p_ref, 2, C)
-    pi_v = _pi_poly(ui, vi, p_ref, 2 + block, C)
+    pi_u = _pi_poly(u, v, p_ref, 2, cfg, H, W)
+    pi_v = _pi_poly(u, v, p_ref, 2 + block, cfg, H, W)
     un = ui + cfg.dt * (p_ref[0] * lap_u + pi_u)
     vn = vi + cfg.dt * (p_ref[1] * lap_v + pi_v)
     _refresh_halos(su_ref, un, H, W)
@@ -167,6 +213,7 @@ def _fused_rollout_padded(packed, state0, *, cfg, n_steps, H, W, interpret):
             pltpu.VMEM((hp, wp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(packed, state0)
 
 
@@ -186,14 +233,13 @@ def _final_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *, cfg: PiCellConfig
     u = su_ref[:, :]
     v = sv_ref[:, :]
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
-    C = cfg.hidden
-    block = 3 * (3 * C) + C + 1
+    block = _param_block(cfg)
     lap_u = _lap(u, H, W, inv_dx2)
     lap_v = _lap(v, H, W, inv_dx2)
     ui = _interior(u, 0, 0, H, W)
     vi = _interior(v, 0, 0, H, W)
-    pi_u = _pi_poly(ui, vi, p_ref, 2, C)
-    pi_v = _pi_poly(ui, vi, p_ref, 2 + block, C)
+    pi_u = _pi_poly(u, v, p_ref, 2, cfg, H, W)
+    pi_v = _pi_poly(u, v, p_ref, 2 + block, cfg, H, W)
     un = ui + cfg.dt * (p_ref[0] * lap_u + pi_u)
     vn = vi + cfg.dt * (p_ref[1] * lap_v + pi_v)
     _refresh_halos(su_ref, un, H, W)
@@ -225,6 +271,7 @@ def _fused_final_padded(packed, state0, *, cfg, n_steps, H, W, interpret):
             pltpu.VMEM((hp, wp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(packed, state0)
 
 
@@ -238,9 +285,7 @@ def fused_rollout_final_2d(
 ) -> jnp.ndarray:
     """Final state only: [H, W, 2] -> [H, W, 2] after n_steps (no frame
     streaming — the fastest inference path)."""
-    if cfg.kernel_size != 1 or cfg.n_branches != 3:
-        raise NotImplementedError(
-            "fused kernel supports kernel_size=1, n_branches=3 Pi cells")
+    _check_fusable(cfg)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     H, W = h0.shape[0], h0.shape[1]
@@ -262,12 +307,10 @@ def fused_rollout_2d(
     """Full fused rollout: [H, W, 2] -> [n_steps+1, H, W, 2] (frame 0 = h0).
 
     Drop-in replacement for `rollout(pi_cell_step, ...)` on the inference /
-    throughput path (kernel_size=1 cells).  `interpret=None` auto-selects
+    throughput path (kernel_size 1/3/5 cells).  `interpret=None` auto-selects
     interpreter mode off-TPU so tests run on CPU.
     """
-    if cfg.kernel_size != 1 or cfg.n_branches != 3:
-        raise NotImplementedError(
-            "fused kernel supports kernel_size=1, n_branches=3 Pi cells")
+    _check_fusable(cfg)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     H, W = h0.shape[0], h0.shape[1]

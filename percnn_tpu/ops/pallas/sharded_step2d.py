@@ -24,8 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 from percnn_tpu.core.cell import PiCellConfig
 from percnn_tpu.ops.pallas.cell2d import (
     HALO,
+    _check_fusable,
     _interior,
     _lap,
+    _param_block,
     _pi_poly,
     _round_up,
     pack_pi_params_2d,
@@ -36,14 +38,15 @@ def _step_kernel(p_ref, x_ref, out_ref, *, cfg: PiCellConfig, h: int, w: int):
     u = x_ref[0, :, :]
     v = x_ref[1, :, :]
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
-    C = cfg.hidden
-    block = 3 * (3 * C) + C + 1
+    block = _param_block(cfg)
     lap_u = _lap(u, h, w, inv_dx2)
     lap_v = _lap(v, h, w, inv_dx2)
     ui = _interior(u, 0, 0, h, w)
     vi = _interior(v, 0, 0, h, w)
-    pi_u = _pi_poly(ui, vi, p_ref, 2, C)
-    pi_v = _pi_poly(ui, vi, p_ref, 2 + block, C)
+    # k x k Pi branches read the exchanged halo (corners are valid: the
+    # sequential per-axis ICI exchange fills them with diagonal neighbours)
+    pi_u = _pi_poly(u, v, p_ref, 2, cfg, h, w)
+    pi_v = _pi_poly(u, v, p_ref, 2 + block, cfg, h, w)
     out_ref[0, 0:h, 0:w] = ui + cfg.dt * (p_ref[0] * lap_u + pi_u)
     out_ref[1, 0:h, 0:w] = vi + cfg.dt * (p_ref[1] * lap_v + pi_v)
 
@@ -75,8 +78,7 @@ def pallas_step_haloed(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """One Euler step on a haloed local block [h+4, w+4, 2] -> [h, w, 2]."""
-    if cfg.kernel_size != 1 or cfg.n_branches != 3:
-        raise NotImplementedError("pallas sharded step supports k=1, 3-branch cells")
+    _check_fusable(cfg)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = xp.shape[0] - 2 * HALO, xp.shape[1] - 2 * HALO

@@ -44,6 +44,29 @@ def test_rollout_includes_ic_and_matches_manual():
     np.testing.assert_allclose(np.asarray(hf), np.asarray(h), rtol=1e-6, atol=1e-6)
 
 
+def test_rollout_prime_steps_remat():
+    """Prime n_steps gets the peel-one-step treatment instead of segment=1
+    (per-step checkpointing); values and grads stay exact."""
+    cfg = PiCellConfig(ndim=2, hidden=4, dt=0.01, dx=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 2))
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 13, remat=False)
+    got = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 13, remat=True)
+    assert got.shape == (14, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+    def loss(p, remat):
+        fr = rollout(lambda h: pi_cell_step(p, h, cfg), h0, 13, remat=remat)
+        return jnp.mean(fr**2)
+
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    g2 = jax.grad(lambda p: loss(p, False))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        g1, g2,
+    )
+
+
 def test_remat_gradients_match_no_remat():
     cfg = PiCellConfig(ndim=2, hidden=4, dt=0.01, dx=0.1)
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)

@@ -116,6 +116,38 @@ def test_pareto_sweep_runs():
     assert len(ls) == 3 and (l0 >= 0).all()
 
 
+def test_pareto_knee_picks_true_support():
+    """On synthetic data the automatic knee of the (||w||_0, LS) front
+    lands on the true 3-term support (the LO Stage-2 selection rule)."""
+    from percnn_tpu.discovery.stridge import pareto_knee, pareto_select
+
+    rng = np.random.RandomState(6)
+    n, d = 3000, 20
+    X = rng.randn(n, d)
+    w_true = np.zeros((d, 1))
+    w_true[[2, 7, 13]] = [[1.2], [-0.9], [0.5]]
+    y = X @ w_true + 0.02 * rng.randn(n, 1)
+    tr = STRidge(X, y)
+    gammas = np.array([0.01 * 1.5**i for i in range(20)])
+    w, info = pareto_select(tr, gammas=gammas, maxit=15, stridge_iters=15,
+                            lam=1e-4, d_tol=2.0)
+    assert int(np.count_nonzero(w)) == 3
+    assert set(np.nonzero(w[:, 0])[0]) == {2, 7, 13}
+    assert info["selected_gamma"] in gammas
+
+
+def test_pareto_knee_degenerate_inputs():
+    from percnn_tpu.discovery.stridge import pareto_knee
+
+    # all-zero supports fall back to min loss
+    i = pareto_knee(np.array([3.0, 1.0, 2.0]), np.array([0, 0, 0]))
+    assert i == 1
+    # monotone trade-off: knee sits between the extremes
+    ls = np.array([1e-6, 1e-4, 1.0])
+    l0 = np.array([10, 3, 1])
+    assert pareto_knee(ls, l0) == 1
+
+
 def test_symbolic_extraction_roundtrip():
     """Hand-built Pi branch -> polynomial (u+1)(2u-v)(3v) expanded."""
     branch = {

@@ -51,6 +51,48 @@ def test_fused_rollout_nonaligned_100():
     _parity(cfg, 25, 33, 3, atol=1e-5)
 
 
+def test_fused_rollout_matches_jnp_burgers_k5_cfg():
+    """Burgers/LO Stage-1 shape: 5x5 Pi branches consume the in-state halo
+    (incl. the periodically-wrapped corners)."""
+    cfg = PiCellConfig(ndim=2, hidden=6, kernel_size=5, dt=0.00025, dx=0.01,
+                       diffusion="sigmoid", mu_up=0.01, init_scale=0.02)
+    _parity(cfg, 12, 20, 4, atol=1e-5)
+
+
+def test_fused_rollout_matches_jnp_k3():
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=3, dt=0.01, dx=0.1,
+                       diffusion="raw", diff_init=0.05, init_scale=0.1)
+    _parity(cfg, 10, 14, 4, atol=1e-5)
+
+
+def test_fused_trainable_rollout_k5_gradients_match():
+    """Fused fwd + adjoint-conv phase-1 backward == autodiff for 5x5 cells."""
+    from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
+
+    cfg = PiCellConfig(ndim=2, hidden=3, kernel_size=5, dt=0.01, dx=0.1,
+                       diffusion="sigmoid", mu_up=0.1, init_scale=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (10, 12, 2), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (5, 10, 12, 2), jnp.float32)
+
+    def loss_fused(p, h):
+        return jnp.mean((fused_rollout_tp_2d(p, h, cfg, 4) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 4, remat=False)
+        return jnp.mean((fr - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(params, h0)),
+                               float(loss_ref(params, h0)), rtol=1e-5)
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )
+
+
 def test_fused_rollout_3d_matches_jnp():
     from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
 

@@ -128,9 +128,10 @@ def test_sharded_rollout_nd_axis_names_default_from_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_rollout_pallas_impl_matches():
+@pytest.mark.parametrize("kernel_size", [1, 5])
+def test_sharded_rollout_pallas_impl_matches(kernel_size):
     """Halo exchange (ppermute) + local fused Pallas step == single device."""
-    cfg = _cfg(1)
+    cfg = _cfg(kernel_size)
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (16, 32, 2), jnp.float32)
     ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 4, remat=False)

@@ -78,6 +78,23 @@ def test_resume_from_checkpoint(tmp_path):
     assert len(hist2) == 30  # only the remaining iterations ran
 
 
+def test_checkpoint_extra_meta_and_peek(tmp_path):
+    """extra_meta (e.g. curriculum stage) persists in the checkpoint and is
+    readable without a tree template."""
+    from percnn_tpu.core.checkpoint import peek_meta
+
+    def loss_fn(p):
+        l = jnp.sum(p["w"] ** 2)
+        return l, {}
+
+    ck = str(tmp_path / "m.npz")
+    cfg = TrainConfig(n_iters=5, lr=0.01, ckpt_path=ck, ckpt_every=2)
+    train(loss_fn, {"w": jnp.ones(2)}, cfg, extra_meta={"stage": 2})
+    meta = peek_meta(ck)
+    assert meta["stage"] == 2
+    assert meta["iteration"] == 5
+
+
 def test_best_val_policy(tmp_path):
     """best_val returns the params with the lowest 'val', not the last."""
     def loss_fn(p):

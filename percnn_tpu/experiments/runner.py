@@ -263,6 +263,54 @@ def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     }
 
 
+def _export_viz(exp, prob, params, metrics, truth, out_dir):
+    """Reference-parity postprocessing artifacts (SURVEY L8):
+    - 2x3 panel incl. the noisy-measurement column (train_2drd.py:445-521),
+    - every-N-steps uv_comparison image series (percnn_LO_eqn.py:526-543),
+    - u AND v isosurfaces for pred and truth in 3D (Plot3D.py:6-29),
+    - ISG-vs-target-vs-measurement IC diagnostic (rcnn_Burgers...py:489-578).
+    """
+    from percnn_tpu.viz.plots import (comparison_panel, frame_series,
+                                      ic_panel, isosurface_pair,
+                                      measurement_panel)
+
+    frames = metrics["frames"]
+    mid = frames.shape[0] // 2
+    if exp.cell.ndim == 3:
+        isosurface_pair(frames[mid], np.asarray(truth[mid]),
+                        os.path.join(out_dir, f"{exp.name}.iso"))
+        comparison_panel(frames[mid][frames.shape[1] // 2],
+                         np.asarray(truth[mid][truth.shape[1] // 2]),
+                         os.path.join(out_dir, f"{exp.name}.panel.png"),
+                         title=f"{exp.name} t={mid} (mid-depth slice)")
+        return
+    if prob.measurement is not None:
+        meas = np.asarray(prob.measurement)
+        tm = meas.shape[0] // 2
+        t_frame = min(tm * exp.data.time_stride, frames.shape[0] - 1)
+        measurement_panel(frames[t_frame], np.asarray(truth[t_frame]),
+                          meas[tm],
+                          os.path.join(out_dir, f"{exp.name}.panel.png"),
+                          title=f"{exp.name} t={t_frame}")
+    else:
+        comparison_panel(frames[mid], np.asarray(truth[mid]),
+                         os.path.join(out_dir, f"{exp.name}.panel.png"),
+                         title=f"{exp.name} t={mid}")
+    frame_series(frames, np.asarray(truth[: frames.shape[0]]),
+                 os.path.join(out_dir, f"{exp.name}_frames"), name=exp.name)
+    if exp.isg is not None:
+        from percnn_tpu.core.isg import isg_apply
+        from percnn_tpu.core.losses import ic_target
+
+        out = np.asarray(isg_apply(params["isg"], prob.ic_low, exp.isg)[0])
+        tgt = np.asarray(ic_target(prob.ic_low, out.shape[:-1], 2,
+                                   exp.interp_method,
+                                   align_corners=exp.interp_align_corners,
+                                   periodic_extend=exp.interp_periodic_extend)[0])
+        ic_panel(out, tgt, os.path.join(out_dir, f"{exp.name}.ic_panel.png"),
+                 low_res=np.asarray(prob.ic_low[0]))
+
+
 def run_experiment(
     exp: ExperimentConfig,
     *,
@@ -330,17 +378,7 @@ def run_experiment(
     logger.log(n_total, final_rel_l2=metrics["rel_l2"])
     logger.close()
     try:
-        from percnn_tpu.viz.plots import comparison_panel
-
-        frames = metrics["frames"]
-        mid = frames.shape[0] // 2
-        fr = frames[mid]
-        tr = truth[mid]
-        if exp.cell.ndim == 3:  # mid-depth slice for 3D
-            fr, tr = fr[fr.shape[0] // 2], tr[tr.shape[0] // 2]
-        comparison_panel(fr, np.asarray(tr),
-                         os.path.join(out_dir, f"{exp.name}.panel.png"),
-                         title=f"{exp.name} t={mid}")
+        _export_viz(exp, prob, params, metrics, truth, out_dir)
     except Exception:
         pass
     result = {"params": params, "history": history, **metrics}

@@ -51,9 +51,130 @@ def comparison_panel(
     plt.close(fig)
 
 
-def ic_panel(isg_out: np.ndarray, target: np.ndarray, path: str):
-    """ISG output vs interpolation target (reference plot_IC)."""
-    comparison_panel(isg_out, target, path, title="initial state: ISG vs interp")
+def ic_panel(isg_out: np.ndarray, target: np.ndarray, path: str,
+             low_res: np.ndarray | None = None):
+    """ISG output vs interpolation target (reference plot_IC,
+    rcnn_Burgers...py:489-578), optionally with the raw low-res noisy
+    measurement as a third diagnostic column."""
+    if low_res is None:
+        comparison_panel(isg_out, target, path,
+                         title="initial state: ISG vs interp")
+        return
+    measurement_panel(isg_out, target, low_res, path,
+                      col_names=("ISG", "interp target", "measurement"),
+                      title="initial state: ISG vs interp vs measurement")
+
+
+def measurement_panel(
+    pred: np.ndarray,
+    truth: np.ndarray,
+    meas_low: np.ndarray,
+    path: str,
+    *,
+    channel_names=("u", "v"),
+    col_names=("PeRCNN", "Ref.", "Meas."),
+    vlims=None,
+    title: str = "",
+):
+    """The reference's 2x3 postProcess panel WITH the noisy-measurement
+    column (train_2drd.py:445-521 postProcess_2x3): per channel, columns
+    prediction / clean truth / low-res measurement.  The measurement is
+    nearest-upsampled (np.kron of ones, matching the reference) to the
+    prediction's grid.
+
+    pred/truth: [H, W, C]; meas_low: [h, w, C] (h <= H).
+    vlims: optional per-channel (vmin, vmax) list (the reference pins
+    u/v in [0, 1] for GS); None = shared min/max of pred+truth.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    C = pred.shape[-1]
+    scale = max(1, pred.shape[0] // meas_low.shape[0])
+    fig, axes = plt.subplots(C, 3, figsize=(11, 3.5 * C), squeeze=False)
+    fig.subplots_adjust(hspace=0.25, wspace=0.25)
+    for c in range(C):
+        if vlims is not None:
+            vmin, vmax = vlims[c]
+        else:
+            vmin = min(pred[..., c].min(), truth[..., c].min())
+            vmax = max(pred[..., c].max(), truth[..., c].max())
+        meas_up = np.kron(meas_low[..., c], np.ones((scale, scale)))
+        for j, (field, name) in enumerate([
+            (pred[..., c], f"{channel_names[c]} ({col_names[0]})"),
+            (truth[..., c], f"{channel_names[c]} ({col_names[1]})"),
+            (meas_up, f"{channel_names[c]} ({col_names[2]})"),
+        ]):
+            im = axes[c][j].imshow(field, cmap="hot", vmin=vmin, vmax=vmax)
+            axes[c][j].set_title(name, fontsize=10)
+            axes[c][j].set_xticks([])
+            axes[c][j].set_yticks([])
+            fig.colorbar(im, ax=axes[c][j], fraction=0.046, pad=0.04)
+    if title:
+        fig.suptitle(title)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def frame_series(
+    frames: np.ndarray,
+    truth: np.ndarray,
+    out_dir: str,
+    *,
+    name: str = "uv_comparison",
+    every: int | None = None,
+    max_frames: int = 25,
+    meas_low: np.ndarray | None = None,
+):
+    """Export the comparison panel for a stride of time steps — the
+    reference's `for i in range(0, steps, 10): postProcess(...)` image
+    series (percnn_LO_eqn.py:526-543, files uv_comparison_NNN.png).
+
+    frames/truth: [T, H, W, C]; meas_low: optional [T_m, h, w, C] adds the
+    measurement column for the nearest available measurement frame.
+    Returns the written paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    T = min(frames.shape[0], truth.shape[0])
+    if every is None:
+        every = max(1, T // max_frames)
+    paths = []
+    for t in range(0, T, every):
+        path = os.path.join(out_dir, f"{name}_{t:03d}.png")
+        if meas_low is not None:
+            tm = min(int(round(t / max(1, (T - 1)) * (meas_low.shape[0] - 1))),
+                     meas_low.shape[0] - 1)
+            measurement_panel(frames[t], truth[t], meas_low[tm], path,
+                              title=f"t={t}")
+        else:
+            comparison_panel(frames[t], truth[t], path, title=f"t={t}")
+        paths.append(path)
+    return paths
+
+
+def isosurface_pair(
+    pred_vol: np.ndarray,
+    truth_vol: np.ndarray,
+    path_prefix: str,
+    *,
+    channel_names=("u", "v"),
+    level_fracs=(0.5, 0.5),
+):
+    """u AND v isosurfaces for prediction and truth — the reference exports
+    all four (Plot3D.py:6-29, Iso_surf_{u,v}_{PeRCNN,Truth}_N).
+
+    pred_vol/truth_vol: [D, H, W, C].  Writes
+    {path_prefix}.{u,v}.{pred,truth}.html (or .png montage fallback)."""
+    paths = []
+    for c, cname in enumerate(channel_names[: pred_vol.shape[-1]]):
+        for vol, tag in ((pred_vol, "pred"), (truth_vol, "truth")):
+            path = f"{path_prefix}.{cname}.{tag}.html"
+            save_isosurface_html(vol[..., c], path,
+                                 level_frac=level_fracs[c])
+            paths.append(path)
+    return paths
 
 
 def save_isosurface_html(field: np.ndarray, path: str, *, level_frac: float = 0.5):

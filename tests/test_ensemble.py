@@ -44,6 +44,24 @@ def test_ensemble_sharded_over_mesh(tmp_path):
     assert np.isfinite(res["history"]).all()
 
 
+def test_ensemble_fused_path_matches_two_phase(tmp_path):
+    """The fused per-member-loop path (Pallas, interpret on CPU) trains to
+    the same members as vmapped two_phase — same data, seeds, iterations."""
+    exp = dataclasses.replace(
+        _tiny(GS2D_RECON), grid=16,
+        data=dataclasses.replace(GS2D_RECON.data, time_stride=8, space_stride=2),
+        train=dataclasses.replace(GS2D_RECON.train, n_iters=3, log_every=10),
+        isg_pretrain_iters=5,
+    )
+    r_fused = run_ensemble(exp, 2, out_dir=str(tmp_path / "f"), cache_dir=None,
+                           bptt="fused", seed=0)
+    r_tp = run_ensemble(exp, 2, out_dir=str(tmp_path / "t"), cache_dir=None,
+                        bptt="two_phase", seed=0)
+    np.testing.assert_allclose(r_fused["rel_l2_members"],
+                               r_tp["rel_l2_members"], rtol=1e-4)
+    np.testing.assert_allclose(r_fused["history"], r_tp["history"], rtol=1e-4)
+
+
 def test_ensemble_forward_sim(tmp_path):
     """Forward-sim ensemble (no ISG, physics loss only): h0 identical across
     members (IC comes from truth), model init seeds differ."""

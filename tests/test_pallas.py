@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from percnn_tpu.core.cell import PiCellConfig, init_pi_cell, pi_cell_step
 from percnn_tpu.core.rollout import rollout
@@ -164,6 +165,44 @@ def test_fused_trainable_rollout_3d_gradients_match():
     np.testing.assert_allclose(float(loss_fused(params, h0)),
                                float(loss_ref(params, h0)), rtol=1e-5)
     g1 = jax.grad(loss_fused, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )
+
+
+@pytest.mark.parametrize("kernel_size", [1, 5])
+def test_batched_fused_rollout_matches_per_member(kernel_size):
+    """(M, T)-grid batched kernels == per-member rollouts, values AND grads."""
+    from percnn_tpu.ops.pallas.batched2d import fused_rollout_tp_2d_batched
+
+    cfg = PiCellConfig(ndim=2, hidden=3, kernel_size=kernel_size, dt=0.01,
+                       dx=0.1, diffusion="sigmoid", mu_up=0.1, init_scale=0.1)
+    M = 3
+    ps = [init_pi_cell(jax.random.PRNGKey(i), cfg) for i in range(M)]
+    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (M, 10, 12, 2), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(10), (M, 4, 10, 12, 2), jnp.float32)
+
+    frames = fused_rollout_tp_2d_batched(params, h0, cfg, 4)
+    for m in range(M):
+        ref = rollout(lambda h: pi_cell_step(ps[m], h, cfg), h0[m], 4, remat=False)
+        np.testing.assert_allclose(np.asarray(frames[m]), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-5)
+
+    def loss_b(p, h):
+        fr = fused_rollout_tp_2d_batched(p, h, cfg, 4)
+        return jnp.mean((fr[:, 1:] - tgt) ** 2)
+
+    def loss_ref(p, h):
+        def one(pi, hi, ti):
+            fr = rollout(lambda x: pi_cell_step(pi, x, cfg), hi, 4, remat=False)
+            return jnp.mean((fr[1:] - ti) ** 2)
+        return jnp.mean(jax.vmap(one)(p, h, tgt))
+
+    g1 = jax.grad(loss_b, argnums=(0, 1))(params, h0)
     g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -1,0 +1,353 @@
+"""Torch-free reader for reference ``.pt`` checkpoints + layout mappers.
+
+The reference commits trained PyTorch checkpoints per experiment
+(``torch.save({'model_state_dict', 'optimizer_state_dict'}, ...)``,
+train_2drd.py:417-424; files e.g. DataDrivenModeling/2d_gs_rd/model/
+checkpoint.pt).  Loading them here lets the framework validate rollout
+parity against reference-trained weights directly, and lets a reference
+user migrate mid-project without retraining.
+
+Two serialization formats exist, both parsed without torch:
+
+- **legacy** (pre-1.6 default; what the reference ships): a raw stream of
+  pickles — magic number, protocol version, sys_info, then the main object
+  whose tensors are ``persistent_load`` references
+  ``('storage', StorageType, key, location, numel)`` rebuilt via
+  ``torch._utils._rebuild_tensor_v2``; then a pickled list of storage keys;
+  then, per key in order, ``int64 numel`` + raw little-endian bytes.
+- **zip** (1.6+): a zipfile with ``<name>/data.pkl`` (same pickle scheme,
+  persistent ids carry numel too) and one raw file ``<name>/data/<key>``
+  per storage.
+
+Unpickling is *restricted*: only ``collections.OrderedDict``, the torch
+tensor-rebuild helpers, and storage-type markers are honoured; any other
+global resolves to an inert stub (so optimizer state with exotic objects
+degrades gracefully instead of executing arbitrary reduce callables).
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import pickle
+import struct
+import zipfile
+from typing import Any
+
+import numpy as np
+
+_MAGIC = 0x1950A86A20F9469CFC6C
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("?"),
+    "BFloat16Storage": np.dtype("<u2"),  # no numpy bf16; raw bits
+}
+
+
+class _StorageType:
+    """Marker for ``torch.FloatStorage`` etc. encountered in the pickle."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    @property
+    def dtype(self) -> np.dtype:
+        return _STORAGE_DTYPES[self.name]
+
+
+class _StorageRef:
+    """Unresolved tensor storage: (dtype, key, numel); data attached later."""
+
+    def __init__(self, storage_type: _StorageType, key: str, numel: int | None):
+        self.storage_type = storage_type
+        self.key = key
+        self.numel = numel
+        self.data: np.ndarray | None = None
+
+
+class _LazyTensor:
+    """Result of _rebuild_tensor_v2 before storages are bound."""
+
+    def __init__(self, storage: _StorageRef, offset: int, size, stride):
+        self.storage = storage
+        self.offset = offset
+        self.size = tuple(size)
+        self.stride = tuple(stride)
+
+    def resolve(self) -> np.ndarray:
+        flat = self.storage.data
+        if flat is None:
+            raise ValueError(f"storage {self.storage.key} has no data bound")
+        itemsize = flat.dtype.itemsize
+        arr = np.lib.stride_tricks.as_strided(
+            flat[self.offset:],
+            shape=self.size,
+            strides=tuple(s * itemsize for s in self.stride),
+        )
+        return np.ascontiguousarray(arr)
+
+
+class _Stub:
+    """Inert stand-in for unknown globals (optimizer internals etc.)."""
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+
+    def __call__(self, *args, **kwargs):
+        return _Stub(*args)
+
+    def __setstate__(self, state):
+        self.state = state
+
+
+def _rebuild_tensor_v2(storage, offset, size, stride, *unused):
+    return _LazyTensor(storage, offset, size, stride)
+
+
+def _rebuild_parameter(data, requires_grad=True, hooks=None):
+    return data
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def __init__(self, f, persistent):
+        super().__init__(f, encoding="latin1")
+        self._persistent = persistent
+
+    def find_class(self, module, name):
+        if (module, name) == ("collections", "OrderedDict"):
+            return collections.OrderedDict
+        if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+            return _rebuild_tensor_v2
+        if name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if name in _STORAGE_DTYPES:
+            return _StorageType(name)
+        if (module, name) == ("torch.serialization", "_get_layout"):
+            return _Stub()
+        return _Stub
+
+    def persistent_load(self, pid):
+        return self._persistent(pid)
+
+
+def _resolve(obj: Any) -> Any:
+    """Replace _LazyTensor leaves with numpy arrays; drop stubs."""
+    if isinstance(obj, _LazyTensor):
+        return obj.resolve()
+    if isinstance(obj, dict):
+        return {k: _resolve(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_resolve(v) for v in obj)
+    if isinstance(obj, _Stub):
+        return None
+    return obj
+
+
+def _storage_from_pid(pid, refs: dict) -> _StorageRef:
+    # legacy pid: ('storage', StorageType, key, location, numel[, view_meta])
+    # zip pid:    ('storage', StorageType, key, location, numel)
+    tag = pid[0]
+    if tag != "storage":
+        raise ValueError(f"unsupported persistent id tag {tag!r}")
+    storage_type, key, numel = pid[1], str(pid[2]), int(pid[4])
+    if key not in refs:
+        refs[key] = _StorageRef(storage_type, key, numel)
+    return refs[key]
+
+
+def _load_legacy(data: bytes) -> Any:
+    f = io.BytesIO(data)
+    refs: dict[str, _StorageRef] = {}
+    up = lambda: _RestrictedUnpickler(f, lambda pid: _storage_from_pid(pid, refs))  # noqa: E731
+    magic = up().load()
+    if magic != _MAGIC:
+        raise ValueError("not a torch legacy checkpoint (bad magic)")
+    up().load()  # protocol version
+    sys_info = up().load()
+    if not sys_info.get("little_endian", True):
+        raise ValueError("big-endian checkpoints unsupported")
+    obj = up().load()
+    keys = up().load()
+    for key in keys:
+        ref = refs[str(key)]
+        (numel,) = struct.unpack("<q", f.read(8))
+        nbytes = numel * ref.storage_type.dtype.itemsize
+        ref.data = np.frombuffer(f.read(nbytes), dtype=ref.storage_type.dtype)
+    return _resolve(obj)
+
+
+def _load_zip(path: str) -> Any:
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    prefix = pkl_name[: -len("data.pkl")]
+    refs: dict[str, _StorageRef] = {}
+    up = _RestrictedUnpickler(
+        io.BytesIO(zf.read(pkl_name)), lambda pid: _storage_from_pid(pid, refs)
+    )
+    obj = up.load()
+    for key, ref in refs.items():
+        raw = zf.read(f"{prefix}data/{key}")
+        ref.data = np.frombuffer(raw, dtype=ref.storage_type.dtype)
+    return _resolve(obj)
+
+
+def load_pt(path: str) -> Any:
+    """Load a torch ``.pt`` checkpoint as a pytree of numpy arrays.
+
+    Handles both the legacy stream format (what the reference commits) and
+    the 1.6+ zipfile format.  Tensors become contiguous numpy arrays;
+    unknown pickled objects become ``None``.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head[:2] == b"PK":
+        return _load_zip(path)
+    return _load_legacy(open(path, "rb").read())
+
+
+# --------------------------------------------------------------------------
+# Layout mappers: reference state_dict names -> percnn_tpu param pytrees.
+# --------------------------------------------------------------------------
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv weight [Cout, Cin, *k] -> channels-last [*k, Cin, Cout]."""
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))
+
+
+def _convt_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose weight [Cin, Cout, *k] -> [*k, Cin, Cout]."""
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+
+
+def _pi_branch_w(w: np.ndarray) -> np.ndarray:
+    """Pi branch conv weight -> cell layout ([Cin, Cout] when k=1)."""
+    nd = w.ndim - 2
+    hwio = _conv_w(w)
+    if all(w.shape[2 + i] == 1 for i in range(nd)):
+        return hwio.reshape(hwio.shape[-2:])  # 1x1: [Cin, Cout]
+    return hwio
+
+
+def _map_isg(sd: dict, prefix: str = "UpconvBlock.") -> dict | None:
+    """Map reference ISG weights, auto-detecting the naming style.
+
+    DataDrivenModeling scripts use a Sequential ('convnet.0' ConvT,
+    'convnet.2' ConvT, 'convnet.3' 1x1 out — train_2drd.py:26-41); the
+    discovery Stage-1/3 scripts use named members ('up0' ConvT, 'out' 1x1 —
+    rcnn_Burgers...py:38-52; those checkpoints also carry 'convnet.*'
+    aliases of the same tensors, which we ignore in favour of the named ones).
+    """
+    if f"{prefix}up0.weight" in sd:
+        return {
+            "up0_w": _convt_w(sd[f"{prefix}up0.weight"]),
+            "up0_b": np.asarray(sd[f"{prefix}up0.bias"]),
+            "out_w": _pi_branch_w(sd[f"{prefix}out.weight"]),
+            "out_b": np.asarray(sd[f"{prefix}out.bias"]),
+        }
+    if f"{prefix}convnet.0.weight" in sd:
+        return {
+            "up0_w": _convt_w(sd[f"{prefix}convnet.0.weight"]),
+            "up0_b": np.asarray(sd[f"{prefix}convnet.0.bias"]),
+            "up1_w": _convt_w(sd[f"{prefix}convnet.2.weight"]),
+            "up1_b": np.asarray(sd[f"{prefix}convnet.2.bias"]),
+            "out_w": _pi_branch_w(sd[f"{prefix}convnet.3.weight"]),
+            "out_b": np.asarray(sd[f"{prefix}convnet.3.bias"]),
+        }
+    return None
+
+
+def map_pi_state_dict(
+    sd: dict,
+    *,
+    cell_prefix: str = "crnn_cell.",
+    n_branches: int = 3,
+    channel_names: tuple = ("u", "v"),
+    diff_names: tuple | None = None,
+) -> tuple[dict, dict | None]:
+    """Map a reference Pi-cell ``model_state_dict`` to (cell_params, isg_params).
+
+    Reference module names (train_2drd.py:43-125, :26-41):
+      crnn_cell.{CA,CB}                  -> diff logits [2]
+      crnn_cell.Wh{1..3}_{u,v}.{weight,bias} -> pi[c] w0..w2 / b0..b2
+      crnn_cell.Wh4_{u,v}.{weight,bias}      -> pi[c] w_out / b_out
+      UpconvBlock.convnet.{0,2}.*  (ConvT)   -> isg up0/up1
+      UpconvBlock.convnet.3.*      (1x1 out) -> isg out
+
+    The LO forward solver names its raw diffusion scalars DA/DB
+    (percnn_LO_eqn.py:42-43) and has no ISG — auto-detected.  The frozen
+    ``W_laplace`` weight is ignored (the framework's Laplacian is the same
+    stencil applied as a roll-sum; see ops/stencils.py).
+    """
+    if diff_names is None:
+        diff_names = ("CA", "CB") if cell_prefix + "CA" in sd else ("DA", "DB")
+    diff = np.stack([np.asarray(sd[cell_prefix + n], np.float32).reshape(())
+                     for n in diff_names])
+    pi = []
+    for cn in channel_names:
+        branch = {}
+        for i in range(n_branches):
+            w = sd[f"{cell_prefix}Wh{i + 1}_{cn}.weight"]
+            branch[f"w{i}"] = _pi_branch_w(w)
+            branch[f"b{i}"] = np.asarray(sd[f"{cell_prefix}Wh{i + 1}_{cn}.bias"])
+        w4 = sd[f"{cell_prefix}Wh{n_branches + 1}_{cn}.weight"]
+        branch["w_out"] = _pi_branch_w(w4)
+        branch["b_out"] = np.asarray(sd[f"{cell_prefix}Wh{n_branches + 1}_{cn}.bias"])
+        pi.append(branch)
+    cell_params = {"diff": diff, "pi": pi}
+    return cell_params, _map_isg(sd)
+
+
+def map_symbolic_state_dict(
+    sd: dict,
+    *,
+    cell_prefix: str = "crnn_cell.",
+    channel_names: tuple = ("u", "v"),
+    n_terms: int | None = None,
+) -> tuple[dict, dict | None]:
+    """Map a reference Stage-3 ``model_state_dict`` to (symbolic_params, isg_params).
+
+    Reference Stage-3 names (fine_tuning_[5%noise...].py:123-157):
+      crnn_cell.nu_{u,v}  -> nu [2];  crnn_cell.C{i}_{u,v} -> coef[c][i-1].
+    Frozen derivative filters (laplace_op/dx_op/dy_op) are ignored — the
+    framework evaluates terms via roll-sum stencils.
+    """
+    nu = np.stack([np.asarray(sd[f"{cell_prefix}nu_{c}"], np.float32).reshape(())
+                   for c in channel_names])
+    coef = []
+    for cn in channel_names:
+        cs = []
+        i = 1
+        while n_terms is None or i <= n_terms:
+            key = f"{cell_prefix}C{i}_{cn}"
+            if key not in sd:
+                break
+            cs.append(np.asarray(sd[key], np.float32).reshape(()))
+            i += 1
+        coef.append(np.stack(cs))
+    return {"nu": nu, "coef": coef}, _map_isg(sd)
+
+
+def import_reference_checkpoint(path: str, **map_kwargs):
+    """load_pt + the right mapper (Pi vs symbolic cell, auto-detected).
+
+    Returns (cell_params, isg_params, raw) where raw is the full decoded
+    checkpoint (including optimizer state) for inspection."""
+    raw = load_pt(path)
+    sd = raw["model_state_dict"] if "model_state_dict" in raw else raw
+    prefix = map_kwargs.get("cell_prefix", "crnn_cell.")
+    if f"{prefix}nu_u" in sd:
+        cell, isg = map_symbolic_state_dict(sd, **map_kwargs)
+    else:
+        cell, isg = map_pi_state_dict(sd, **map_kwargs)
+    return cell, isg, raw

@@ -1,0 +1,171 @@
+"""Reference .pt checkpoint import: reader correctness + rollout parity.
+
+Two layers of validation:
+- golden tests (always run): committed fixtures in tests/golden/ hold
+  reference-trained weights (mapped via pt_import) plus torch-computed
+  rollout/ISG outputs; the framework's cell/ISG must reproduce them.
+- reader tests (run when /root/reference + torch are available): the
+  pure-Python .pt reader must agree tensor-for-tensor with torch.load,
+  and the mapped params must match the committed fixtures.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from percnn_tpu.core.cell import PiCellConfig, pi_cell_step
+from percnn_tpu.core.isg import ISGConfig, isg_apply
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+REF = "/root/reference"
+
+CKPTS = {
+    "pt_gs2d": f"{REF}/DataDrivenModeling/2d_gs_rd/model/checkpoint.pt",
+    "pt_burgers_s1": f"{REF}/DataDrivenDiscoveryOfPDEs/2D_Burgers_eqn/Stage-1/model/checkpoint.pt",
+    "pt_gs3d": f"{REF}/DataDrivenModeling/3d_gs_rd/model/checkpoint.pt",
+    "pt_lo_forward": f"{REF}/ForwardSimulationOfPDEs/2d_lambda_omega/model/rcnn_pde.pt",
+}
+
+CELL_CFGS = {
+    "pt_gs2d": PiCellConfig(ndim=2, hidden=8, kernel_size=1, dt=0.5, dx=0.01,
+                            diffusion="sigmoid", mu_up=3.99e-5),
+    "pt_burgers_s1": PiCellConfig(ndim=2, hidden=16, kernel_size=5, dt=0.00025,
+                                  dx=0.01, diffusion="sigmoid", mu_up=0.01),
+    "pt_gs3d": PiCellConfig(ndim=3, hidden=2, kernel_size=1, dt=0.5, dx=100 / 48,
+                            diffusion="sigmoid", mu_up=0.274),
+    "pt_lo_forward": PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.0125,
+                                  dx=0.2, diffusion="raw"),
+}
+
+ISG_CFGS = {
+    "pt_gs2d": ISGConfig(ndim=2, hidden=8, strides=(2, 2), activation="sigmoid"),
+    "pt_burgers_s1": ISGConfig(ndim=2, hidden=16, strides=(2,), activation="tanh"),
+    "pt_gs3d": ISGConfig(ndim=3, hidden=8, strides=(2, 1), activation="sigmoid"),
+}
+
+
+def unflatten(npz, prefix):
+    """Rebuild the {'diff','pi':[{...}]} / isg param pytrees from npz keys."""
+    keys = [k for k in npz.files if k.startswith(prefix)]
+    if not keys:
+        return None
+    tree: dict = {}
+    for k in keys:
+        parts = k[len(prefix):].split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(npz[k])
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(p.isdigit() for p in node):
+                return [listify(node[str(i)]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(tree)
+
+
+@pytest.mark.parametrize("name", list(CELL_CFGS))
+def test_golden_rollout_parity(name):
+    """Mapped reference weights roll out identically to the torch model."""
+    npz = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    cfg = CELL_CFGS[name]
+    params = unflatten(npz, "cell.")
+    frames = npz["frames"]
+    h = jnp.asarray(frames[0])
+    tol = 5e-10 if frames.dtype == np.float64 else 2e-5
+    for t in range(1, frames.shape[0]):
+        h = pi_cell_step(params, h, cfg)
+        err = np.abs(np.asarray(h) - frames[t]).max()
+        assert err < tol * t, f"{name} step {t}: max |diff| {err}"
+
+
+@pytest.mark.parametrize("name", list(ISG_CFGS))
+def test_golden_isg_parity(name):
+    """Mapped reference ISG weights reproduce torch ConvTranspose output."""
+    npz = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    params = unflatten(npz, "isg.")
+    out = isg_apply(params, jnp.asarray(npz["isg_in"]), ISG_CFGS[name])
+    np.testing.assert_allclose(np.asarray(out), npz["isg_out"],
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not present")
+@pytest.mark.parametrize("name", list(CKPTS))
+def test_mapper_matches_golden(name):
+    """pt_import on the live reference checkpoint == committed fixture."""
+    from percnn_tpu.data.pt_import import import_reference_checkpoint
+
+    cell, isg, _ = import_reference_checkpoint(CKPTS[name])
+    npz = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    want_cell = unflatten(npz, "cell.")
+    np.testing.assert_array_equal(np.asarray(cell["diff"], np.float32),
+                                  np.asarray(want_cell["diff"], np.float32))
+    for c in range(2):
+        for k, v in want_cell["pi"][c].items():
+            np.testing.assert_array_equal(
+                np.asarray(cell["pi"][c][k], np.float32),
+                np.asarray(v, np.float32), err_msg=f"{name} pi[{c}].{k}")
+    want_isg = unflatten(npz, "isg.")
+    if want_isg is not None:
+        for k, v in want_isg.items():
+            np.testing.assert_array_equal(np.asarray(isg[k]), np.asarray(v),
+                                          err_msg=f"{name} isg.{k}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not present")
+def test_reader_matches_torch():
+    """Pure-Python legacy-format reader == torch.load, tensor for tensor."""
+    torch = pytest.importorskip("torch")
+    from percnn_tpu.data.pt_import import load_pt
+
+    for name, path in CKPTS.items():
+        ours = load_pt(path)
+        ref = torch.load(path, map_location="cpu", weights_only=False)
+        sd_ours = ours.get("model_state_dict", ours)
+        sd_ref = ref["model_state_dict"] if "model_state_dict" in ref else ref
+        assert set(sd_ours) == set(sd_ref), name
+        for k in sd_ref:
+            np.testing.assert_array_equal(
+                sd_ours[k], sd_ref[k].detach().numpy(), err_msg=f"{name}:{k}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not present")
+def test_symbolic_checkpoint_import():
+    """Stage-3 symbolic checkpoint maps to {'nu','coef'} + named ISG."""
+    from percnn_tpu.data.pt_import import import_reference_checkpoint
+
+    path = f"{REF}/DataDrivenDiscoveryOfPDEs/2D_Burgers_eqn/Stage-3/model/checkpoint.pt"
+    params, isg, _ = import_reference_checkpoint(path)
+    assert params["nu"].shape == (2,)
+    assert len(params["coef"]) == 2 and params["coef"][0].shape == (4,)
+    assert isg is not None and isg["up0_w"].shape == (5, 5, 2, 16)
+    # fine-tuned Burgers: nu ~ 0.005 (fine_tuning_[5%noise...].py:988-990)
+    assert 1e-3 < float(params["nu"][0]) < 1e-2
+
+
+def test_golden_wlaplace_matches_stencil():
+    """The checkpoints' frozen W_laplace is the same 4th-order cross stencil
+    the framework applies as a roll-sum (sanity linking the two worlds)."""
+    from percnn_tpu.ops.stencils import laplacian
+
+    npz = np.load(os.path.join(GOLDEN, "pt_gs2d.npz"))
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.rand(16, 16, 1).astype(np.float32))
+    # apply our laplacian and a brute-force periodic correlation of the
+    # reference stencil; they must agree (dx=0.01 baked into W_laplace)
+    ours = laplacian(f, 0.01, axes=(0, 1))
+    if os.path.isdir(REF):
+        from percnn_tpu.data.pt_import import load_pt
+        w = load_pt(CKPTS["pt_gs2d"])["model_state_dict"]["crnn_cell.W_laplace.weight"][0, 0]
+        fp = np.pad(np.asarray(f)[..., 0], 2, mode="wrap")
+        want = np.zeros((16, 16), np.float32)
+        for i in range(5):
+            for j in range(5):
+                want += w[i, j] * fp[i:i + 16, j:j + 16]
+        np.testing.assert_allclose(np.asarray(ours)[..., 0], want,
+                                   rtol=1e-4, atol=2e-4)

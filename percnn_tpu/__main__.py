@@ -65,6 +65,24 @@ def main(argv=None):
     ps.add_argument("--out", default="truth.npz")
     ps.add_argument("--warmup", type=int, default=0)
 
+    px = sub.add_parser("export", help="export a trained model as a "
+                        "self-contained StableHLO serving artifact")
+    px.add_argument("experiment")
+    px.add_argument("--ckpt", required=True,
+                    help="framework .npz checkpoint (from `run`)")
+    px.add_argument("--steps", type=int, default=None,
+                    help="rollout length baked into the artifact "
+                         "(default: the experiment's infer_steps)")
+    px.add_argument("--out", default="model.stablehlo.npz")
+    px.add_argument("--final-only", action="store_true",
+                    help="emit only the final state (no frame streaming)")
+    px.add_argument("--cpu", action="store_true")
+
+    pi = sub.add_parser("import-pt", help="convert a reference PyTorch "
+                        ".pt checkpoint to a framework .npz checkpoint")
+    pi.add_argument("pt_path")
+    pi.add_argument("--out", default="imported.ckpt.npz")
+
     sub.add_parser("list", help="list experiment configs")
 
     args = p.parse_args(argv)
@@ -105,9 +123,45 @@ def main(argv=None):
         print(f"wrote {args.out}: {truth.shape}")
         return 0
 
+    if args.cmd == "import-pt":
+        from percnn_tpu.core.checkpoint import save_checkpoint
+        from percnn_tpu.data.pt_import import import_reference_checkpoint
+
+        cell, isg, _ = import_reference_checkpoint(args.pt_path)
+        params = {"cell": cell}
+        if isg is not None:
+            params["isg"] = isg
+        save_checkpoint(args.out, {"params": params},
+                        meta={"source": args.pt_path})
+        n = len(jax.tree_util.tree_leaves(params))
+        print(f"wrote {args.out}: {n} tensors"
+              + (" (cell + isg)" if isg is not None else " (cell only)"))
+        return 0
+
     from percnn_tpu.experiments import EXPERIMENTS
 
     exp = EXPERIMENTS[args.experiment]
+
+    if args.cmd == "export":
+        from percnn_tpu.core.checkpoint import load_checkpoint_tree
+        from percnn_tpu.serving import export_model
+
+        tree, _meta = load_checkpoint_tree(args.ckpt)
+        params = tree.get("params", tree)
+        n_steps = args.steps if args.steps is not None else exp.infer_steps
+        if exp.isg is not None and "isg" in params:
+            low = exp.grid // exp.isg.scale
+            input_shape = (low,) * exp.cell.ndim + (2,)
+            isg_cfg = exp.isg
+        else:
+            input_shape = (exp.grid,) * exp.cell.ndim + (2,)
+            isg_cfg = None
+        export_model(params, exp.cell, n_steps, input_shape,
+                     isg_cfg=isg_cfg, final_only=args.final_only,
+                     path=args.out)
+        print(f"wrote {args.out}: input {input_shape}, {n_steps} steps"
+              f"{' (final only)' if args.final_only else ''}")
+        return 0
 
     if args.cmd == "run":
         import jax.numpy as jnp

@@ -69,3 +69,43 @@ def load_checkpoint(path: str, like: Any):
     treedef = jax.tree_util.tree_structure(like)
     new_leaves = [by_path[p] for p in like_paths]
     return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
+
+
+import re as _re
+
+_KEY_RE = _re.compile(r"\[(?:'([^']*)'|(\d+))\]")
+
+
+def load_checkpoint_tree(path: str):
+    """Template-free load: rebuild nested dicts/lists from the stored
+    keypath strings; returns (tree, meta).
+
+    Covers checkpoints whose structure is dicts + lists/tuples of arrays
+    (everything this framework saves).  Integer keys become list slots;
+    tuples come back as lists — fine for parameter pytrees, which jax
+    treats positionally.  Use `load_checkpoint(path, like)` when the exact
+    container types (e.g. optax NamedTuples) must be restored.
+    """
+    with np.load(path, allow_pickle=False) as z:
+        paths = json.loads(str(z["__paths__"]))
+        meta = json.loads(str(z["__meta__"]))
+        leaves = [z[f"leaf_{i}"] for i in range(len(paths))]
+
+    root: dict = {}
+    for p, leaf in zip(paths, leaves):
+        # findall yields ('name', '') for dict keys, ('', 'idx') for
+        # sequence slots
+        keys = [name if name else int(idx) for name, idx in _KEY_RE.findall(p)]
+        node = root
+        for a, b in zip(keys, keys[1:]):
+            node = node.setdefault(a, {})
+        node[keys[-1]] = leaf
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(isinstance(k, int) for k in node):
+                return [listify(node[i]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root), meta

@@ -116,7 +116,11 @@ def coef_errors(params: dict, cfg: Stage3Config) -> dict:
             errs[f"nu_{c}"] = abs(float(nu[c]) - truth["lap"]) / abs(truth["lap"])
         for t, v in zip(cfg.cell.terms[c], np.asarray(params["cell"]["coef"][c])):
             if t in truth:
-                errs[f"{t}_{c}"] = abs(float(v) - truth[t]) / abs(truth[t])
+                # truth 0.0 marks a known-spurious term (the reference's
+                # C6_v, fine_tuning_LO_[10%noise...].py:137): report its
+                # absolute magnitude, which fine-tuning should shrink.
+                denom = abs(truth[t]) if truth[t] != 0.0 else 1.0
+                errs[f"{t}_{c}"] = abs(float(v) - truth[t]) / denom
     return errs
 
 

@@ -175,3 +175,28 @@ def test_gs3d_data_driven_smoke(tmp_path):
     assert res["frames"].shape == (21, 16, 16, 16, 2)
     # sympy extraction of the trained 3D Pi polynomial
     assert "pi_expressions" in res and len(res["pi_expressions"]) == 2
+
+
+def test_load_checkpoint_tree_template_free(tmp_path):
+    """Template-free loader rebuilds nested dict/list pytrees (used by the
+    CLI export path, which has no live model to borrow structure from)."""
+    from percnn_tpu.core.checkpoint import load_checkpoint_tree
+
+    tree = {
+        "params": {
+            "cell": {
+                "diff": jnp.asarray([0.1, 0.2], jnp.float32),
+                "pi": [{"w0": jnp.ones((2, 4)), "b0": jnp.zeros(4)},
+                       {"w0": jnp.full((2, 4), 2.0), "b0": jnp.ones(4)}],
+            },
+        },
+    }
+    path = str(tmp_path / "t.npz")
+    save_checkpoint(path, tree, meta={"k": 1})
+    got, meta = load_checkpoint_tree(path)
+    assert meta == {"k": 1}
+    assert isinstance(got["params"]["cell"]["pi"], list)
+    np.testing.assert_array_equal(got["params"]["cell"]["pi"][1]["w0"],
+                                  np.full((2, 4), 2.0))
+    np.testing.assert_array_equal(got["params"]["cell"]["diff"],
+                                  np.asarray([0.1, 0.2], np.float32))

@@ -71,3 +71,23 @@ def test_export_symbolic_cell():
     direct = build_serving_fn(params, cell, 4)(h0)
     np.testing.assert_allclose(np.asarray(fn(h0)), np.asarray(direct),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_cli_import_pt_and_export(tmp_path):
+    """CLI chain: reference .pt -> framework ckpt -> StableHLO artifact."""
+    import os
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree not present")
+    from percnn_tpu.__main__ import main
+
+    ckpt = str(tmp_path / "imported.ckpt.npz")
+    art = str(tmp_path / "model.stablehlo.npz")
+    assert main(["import-pt",
+                 "/root/reference/DataDrivenModeling/2d_gs_rd/model/checkpoint.pt",
+                 "--out", ckpt]) == 0
+    assert main(["export", "gs2d_recon", "--ckpt", ckpt, "--steps", "3",
+                 "--out", art, "--cpu"]) == 0
+    fn, cfg = load_model(art)
+    ic = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (25, 25, 2), jnp.float32)
+    out = np.asarray(fn(ic))
+    assert out.shape == (4, 100, 100, 2) and np.isfinite(out).all()

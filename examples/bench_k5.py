@@ -116,8 +116,35 @@ def main():
             print(json.dumps({"metric": f"burgers_k5_train_grad_{name}",
                               "error": repr(e)[:200]}))
 
+    # ---- GS2D k=1 training grad: hybrid fused vs fully-fused pg ----
+    from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
+
+    cfg1_t = PiCellConfig(ndim=2, hidden=8, kernel_size=1, dt=0.5, dx=0.01,
+                          diffusion="sigmoid", mu_up=3.99e-5)
+    params1 = init_pi_cell(jax.random.PRNGKey(5), cfg1_t)
+    h01 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (H, W, 2), jnp.float32)
+    T1 = 800
+
+    def loss_f1(p, h):
+        return jnp.mean(fused_rollout_tp_2d(p, h, cfg1_t, T1)[-1] ** 2)
+
+    def loss_pg1(p, h):
+        return jnp.mean(fused_rollout_tp_2d_pg(p, h, cfg1_t, T1)[-1] ** 2)
+
+    for name, loss in (("fused_hybrid", loss_f1), ("fused_pg", loss_pg1)):
+        g = jax.jit(lambda p, h, f=loss: jax.grad(f)(p, h))
+        try:
+            dt = timed(g, params1, h01) - lat
+            print(json.dumps({"metric": f"gs2d_T800_grad_{name}",
+                              "value": dt * 1e3, "unit": "ms/iter"}))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": f"gs2d_T800_grad_{name}",
+                              "error": repr(e)[:200]}))
+
     # ---- ensemble: member-batched fused vs vmapped two-phase (GS2D cfg) ----
-    from percnn_tpu.ops.pallas.batched2d import fused_rollout_tp_2d_batched
+    from percnn_tpu.ops.pallas.batched2d import (
+        fused_rollout_tp_2d_batched, fused_rollout_tp_2d_batched_pg,
+    )
 
     cfg1 = PiCellConfig(ndim=2, hidden=8, kernel_size=1, dt=0.5, dx=0.01,
                         diffusion="sigmoid", mu_up=3.99e-5)
@@ -135,7 +162,20 @@ def main():
         f = jax.vmap(lambda p, h: rollout_tp(step, p, h, Te))(params_m, h0_m)
         return jnp.mean(f[:, -1] ** 2)
 
-    for name, loss in (("batched_fused", loss_b), ("vmap_two_phase", loss_v)):
+    def loss_bpg(params_m, h0_m):
+        frames = fused_rollout_tp_2d_batched_pg(params_m, h0_m, cfg1, Te)
+        return jnp.mean(frames[:, -1] ** 2)
+
+    def loss_loop_pg(params_m, h0_m):
+        tot = 0.0
+        for m in range(M):
+            p_m = jax.tree_util.tree_map(lambda x: x[m], params_m)
+            tot = tot + jnp.mean(
+                fused_rollout_tp_2d_pg(p_m, h0_m[m], cfg1, Te)[-1] ** 2)
+        return tot / M
+
+    for name, loss in (("batched_fused", loss_b), ("vmap_two_phase", loss_v),
+                       ("batched_pg", loss_bpg), ("member_loop_pg", loss_loop_pg)):
         g = jax.jit(lambda p, h, f=loss: jax.grad(f)(p, h))
         try:
             dt = timed(g, params_m, h0_m) - lat

@@ -58,6 +58,9 @@ def data_loss(
     pred = subsample(rollout, cfg, ndim)
     ts = pred.shape[0]
     n_val = max(1, int(round(ts * cfg.val_frac))) if cfg.val_frac > 0 else 0
+    # never let the val split consume every snapshot (ts=1 with val_frac>0
+    # would make the train mean an empty-reduction nan)
+    n_val = min(n_val, ts - 1)
     n_train = ts - n_val
     train = mse(pred[:n_train], measurement[:n_train])
     val = mse(pred[n_train:], measurement[n_train:]) if n_val else jnp.zeros(())

@@ -124,7 +124,7 @@ def run_ensemble(
                    and exp.cell.kernel_size in (1, 3, 5)
                    and dtype == jnp.float32
                    and jax.default_backend() == "tpu")
-        bptt = "fused" if fusable else "two_phase"
+        bptt = "fused" if fusable else "two_phase"  # fused_pg: opt-in (see runner)
 
     stages = list(exp.curriculum) + [exp.train_steps]
     n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters
@@ -132,9 +132,13 @@ def run_ensemble(
     arr_axes = tuple(0 if a is not None else None for a in arrays)
     history = []
     for i, steps in enumerate(stages):
-        if bptt == "fused":
+        if bptt in ("fused", "fused_pg"):
             from percnn_tpu.core.isg import isg_apply
-            from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
+            from percnn_tpu.ops.pallas.backward2d import (
+                fused_rollout_tp_2d, fused_rollout_tp_2d_pg,
+            )
+            roll = (fused_rollout_tp_2d_pg if bptt == "fused_pg"
+                    else fused_rollout_tp_2d)
 
             def ens_loss(params):
                 # static per-member loop of fused rollouts, all inside ONE
@@ -150,8 +154,7 @@ def run_ensemble(
                                          exp.isg)[0]
                     else:
                         h0_m = batched.h0[m]
-                    frames_m = fused_rollout_tp_2d(p_m["cell"], h0_m,
-                                                   exp.cell, steps)
+                    frames_m = roll(p_m["cell"], h0_m, exp.cell, steps)
                     prob_m = Problem(
                         exp, truth,
                         None if batched.h0 is None else batched.h0[m],

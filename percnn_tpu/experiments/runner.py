@@ -113,6 +113,9 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
                     on TPU), else 'two_phase';
       'fused'     — Pallas forward + Pallas reverse-sweep backward
                     (ops/pallas/backward2d.py);
+      'fused_pg'  — like 'fused' but parameter gradients also accumulate
+                    inside the backward kernel (k=1 2D cells only — no XLA
+                    phase-2);
       'two_phase' — jnp forward + custom-VJP backward (core/rollout.py);
       'remat'     — segmented jax.checkpoint through the scan.
     """
@@ -132,7 +135,14 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
         fused_ok = (fusable_k and h0.dtype == jnp.float32
                     and jax.default_backend() == "tpu"
                     and (cell.ndim == 2 or aligned3d))
+        # NOTE: 'fused_pg' (in-kernel pgrads) stays opt-in until its small
+        # real-TPU numeric deviation vs autodiff (~3e-3 max-rel on some
+        # leaves; exact in interpret mode) is root-caused.
         bptt = "fused" if fused_ok else "two_phase"
+    if bptt == "fused_pg":
+        from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
+
+        return fused_rollout_tp_2d_pg(params["cell"], h0, cell, n_steps)
     if bptt == "fused":
         if cell.ndim == 2:
             from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d

@@ -282,3 +282,240 @@ def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
 
 
 fused_rollout_tp_2d.defvjp(_fused_tp_fwd, _fused_tp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused backward for 1x1-Pi cells: parameter gradients accumulate in
+# VMEM plane-accumulators INSIDE the reverse sweep, eliminating the XLA
+# phase-2 entirely (no g_ins stream to HBM, no re-read of frames, no
+# per-chunk vjp fusions).  The per-(eq, hidden) branch activations the
+# Jacobian-transpose already computes are reused for the gradient planes:
+#
+#   dw_i[cin,c]  = w_out[c] * sum_t,xy  g * prod_{j != i} y_j * h_cin
+#   db_i[c]      = w_out[c] * sum_t,xy  g * prod_{j != i} y_j
+#   dw_out[c]    =            sum_t,xy  g * prod_j y_j
+#   db_out       =            sum_t,xy  g
+#   ddiff        =            sum_t,xy  g * Lap(h)
+#
+# (all x dt; w_out and the diffusion reparametrisation chain rule are
+# applied OUTSIDE the kernel since params are step-constant.)  The scalar
+# reductions happen once at the end over [A, H, W] accumulator planes.
+# ---------------------------------------------------------------------------
+
+
+def _pg_layout(cfg: PiCellConfig):
+    """Accumulator-plane indices for the fused parameter gradients."""
+    C, nb = cfg.hidden, cfg.n_branches
+    dw = 2 * nb * C * 2     # (o, i, c, cin)
+    db = 2 * nb * C         # (o, i, c)
+    wout = 2 * C            # (o, c)
+    n = dw + db + wout + 2 + 2   # + bout (o), + diff (o)
+    return {"dw": 0, "db": dw, "wout": dw + db, "bout": dw + db + wout,
+            "diff": dw + db + wout + 2, "A": n}
+
+
+def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
+             cfg: PiCellConfig, H: int, W: int):
+    """One reverse step with gradient accumulation, shared by the single and
+    member-batched kernels.
+
+    p: flat-indexable params; up/vp: padded state planes h_t; fb_u/fb_v:
+    interior cotangent planes for frame t+1; acc: a -> accumulator-plane ref.
+    """
+    C = cfg.hidden
+    nb = cfg.n_branches
+    wsize = 2 * C
+    stride = wsize + C
+    block = _param_block(cfg)
+    lay = _pg_layout(cfg)
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    gu_in = _interior(sgu_ref[:, :], 0, 0, H, W) + fb_u
+    gv_in = _interior(sgv_ref[:, :], 0, 0, H, W) + fb_v
+    _refresh_halos(sgu_ref, gu_in, H, W)
+    _refresh_halos(sgv_ref, gv_in, H, W)
+
+    lap_gu = _lap(sgu_ref[:, :], H, W, inv_dx2)
+    lap_gv = _lap(sgv_ref[:, :], H, W, inv_dx2)
+    ui = _interior(up, 0, 0, H, W)
+    vi = _interior(vp, 0, 0, H, W)
+
+    # diffusion + output-bias gradient planes (Laplacian of the STATE)
+    acc(lay["diff"] + 0, gu_in * _lap(up, H, W, inv_dx2))
+    acc(lay["diff"] + 1, gv_in * _lap(vp, H, W, inv_dx2))
+    acc(lay["bout"] + 0, gu_in)
+    acc(lay["bout"] + 1, gv_in)
+
+    du_acc = None
+    dv_acc = None
+    for o, g in ((0, gu_in), (1, gv_in)):
+        base = 2 + o * block
+        for c in range(C):
+            ys = []
+            for i in range(nb):
+                off = base + i * stride
+                ys.append(p[off + c] * ui + p[off + C + c] * vi
+                          + p[off + wsize + c])
+            wo = p[base + nb * stride + c]
+            prod_all = ys[0]
+            for y in ys[1:]:
+                prod_all = prod_all * y
+            acc(lay["wout"] + o * C + c, g * prod_all)
+            for i in range(nb):
+                pexc = None
+                for j in range(nb):
+                    if j != i:
+                        pexc = ys[j] if pexc is None else pexc * ys[j]
+                zz = g if pexc is None else g * pexc   # z / w_out
+                a = lay["dw"] + ((o * nb + i) * C + c) * 2
+                acc(a + 0, zz * ui)
+                acc(a + 1, zz * vi)
+                acc(lay["db"] + (o * nb + i) * C + c, zz)
+                off = base + i * stride
+                du = (p[off + c] * wo) * zz
+                dv = (p[off + C + c] * wo) * zz
+                du_acc = du if du_acc is None else du_acc + du
+                dv_acc = dv if dv_acc is None else dv_acc + dv
+
+    gu_prev = gu_in + cfg.dt * (p[0] * lap_gu + du_acc)
+    gv_prev = gv_in + cfg.dt * (p[1] * lap_gv + dv_acc)
+    _refresh_halos(sgu_ref, gu_prev, H, W)
+    _refresh_halos(sgv_ref, gv_prev, H, W)
+
+
+def _phase1_pg_kernel(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
+                      sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int, W: int,
+                      n_steps: int):
+    """Reverse sweep + in-kernel parameter-gradient accumulation (k=1)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
+
+    def acc(a, plane):
+        acc_ref[a] += plane
+
+    _pg_step(p_ref, frames_ref[0, 0, :, :], frames_ref[0, 1, :, :],
+             fbar_ref[0, 0, HALO:HALO + H, HALO:HALO + W],
+             fbar_ref[0, 1, HALO:HALO + H, HALO:HALO + W],
+             sgu_ref, sgv_ref, acc, cfg=cfg, H=H, W=W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_phase1_pg(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W,
+                     interpret):
+    """Returns (g0 [2, Hp, Wp], acc [A, H, W]) — no g_ins stream."""
+    hp, wp = frames_pad.shape[2], frames_pad.shape[3]
+    A = _pg_layout(cfg)["A"]
+    kernel = functools.partial(_phase1_pg_kernel, cfg=cfg, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    g0, acc = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, hp, wp), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, H, W), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((A, H, W), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, frames_pad, fbar_pad)
+    return g0, acc
+
+
+def _pg_unpack(acc_sums, params, cfg: PiCellConfig):
+    """[A] plane sums -> parameter-gradient pytree (applies dt, w_out and
+    the diffusion reparametrisation chain rule)."""
+    C, nb = cfg.hidden, cfg.n_branches
+    lay = _pg_layout(cfg)
+    dt = cfg.dt
+
+    if cfg.diffusion == "raw":
+        ddiff = dt * acc_sums[lay["diff"]: lay["diff"] + 2]
+    else:
+        s = jax.nn.sigmoid(params["diff"])
+        ddiff = dt * cfg.mu_up * s * (1 - s) \
+            * acc_sums[lay["diff"]: lay["diff"] + 2]
+
+    pi_bar = []
+    for o in range(2):
+        wout = params["pi"][o]["w_out"][:, 0]        # [C]
+        branch = {}
+        for i in range(nb):
+            rows = acc_sums[lay["dw"] + (o * nb + i) * C * 2:
+                            lay["dw"] + (o * nb + i + 1) * C * 2]
+            dw = rows.reshape(C, 2).T                # [2, C] (cin, c)
+            branch[f"w{i}"] = dt * dw * wout[None, :]
+            db = acc_sums[lay["db"] + (o * nb + i) * C:
+                          lay["db"] + (o * nb + i + 1) * C]
+            branch[f"b{i}"] = dt * db * wout
+        branch["w_out"] = dt * acc_sums[lay["wout"] + o * C:
+                                        lay["wout"] + (o + 1) * C][:, None]
+        branch["b_out"] = dt * acc_sums[lay["bout"] + o: lay["bout"] + o + 1]
+        pi_bar.append(branch)
+    return {"diff": ddiff, "pi": pi_bar}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_rollout_tp_2d_pg(params, h0, cfg: PiCellConfig, n_steps: int):
+    """Fully-fused differentiable rollout for 1x1-Pi cells: forward, reverse
+    sweep AND parameter gradients in two pallas_calls (no XLA phase 2).
+
+    Exact gradients (parity-tested against autodiff); k=1 only — the 5x5
+    cells' 4800 gradient planes would not fit VMEM, they keep the hybrid
+    `fused_rollout_tp_2d` path."""
+    if cfg.kernel_size != 1:
+        raise NotImplementedError("fused_rollout_tp_2d_pg requires kernel_size=1")
+    return _forward(params, h0, cfg, n_steps)[0]
+
+
+def _fused_tp_pg_fwd(params, h0, cfg, n_steps):
+    frames, (packed, h0_pad, frames_pad) = _forward(params, h0, cfg, n_steps)
+    return frames, (params, packed, h0_pad, frames_pad)
+
+
+def _fused_tp_pg_bwd(cfg, n_steps, residuals, frames_bar):
+    params, packed, h0_pad, frames_pad = residuals
+    H, W = frames_bar.shape[1], frames_bar.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    hp, wp = h0_pad.shape[1], h0_pad.shape[2]
+
+    fbar_pad = jnp.zeros((n_steps, 2, hp, wp), jnp.float32)
+    fbar_pad = fbar_pad.at[:, :, HALO:HALO + H, HALO:HALO + W].set(
+        jnp.moveaxis(frames_bar[1:].astype(jnp.float32), -1, 1)
+    )
+
+    g0_pad, acc = _fused_phase1_pg(
+        packed, _frames_h_prev(h0_pad, frames_pad), fbar_pad,
+        cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+    )
+    h0_bar = (jnp.moveaxis(g0_pad[:, HALO:HALO + H, HALO:HALO + W], 0, -1)
+              + frames_bar[0])
+    params_bar = _pg_unpack(acc.sum(axis=(1, 2)), params, cfg)
+    return params_bar, h0_bar.astype(frames_bar.dtype)
+
+
+fused_rollout_tp_2d_pg.defvjp(_fused_tp_pg_fwd, _fused_tp_pg_bwd)

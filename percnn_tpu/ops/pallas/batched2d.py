@@ -245,3 +245,122 @@ def _fused_tp_b_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
 
 
 fused_rollout_tp_2d_batched.defvjp(_fused_tp_b_fwd, _fused_tp_b_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Member-batched fully-fused backward (k=1): per-member parameter-gradient
+# plane accumulators live in the pinned output block; when the member grid
+# index advances, Pallas flushes the finished member's accumulators and
+# brings in the next.  No XLA phase-2, no g_ins stream.
+# ---------------------------------------------------------------------------
+
+from percnn_tpu.ops.pallas.backward2d import (  # noqa: E402
+    _pg_layout,
+    _pg_step,
+    _pg_unpack,
+)
+
+
+def _phase1_pg_kernel_b(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
+                        sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int,
+                        W: int, n_steps: int):
+    m = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+        acc_ref[:, :, :, :] = jnp.zeros_like(acc_ref)
+
+    def acc(a, plane):
+        acc_ref[0, a] += plane
+
+    _pg_step(_ParamRow(p_ref, m),
+             frames_ref[0, 0, 0, :, :], frames_ref[0, 0, 1, :, :],
+             fbar_ref[0, 0, 0, HALO:HALO + H, HALO:HALO + W],
+             fbar_ref[0, 0, 1, HALO:HALO + H, HALO:HALO + W],
+             sgu_ref, sgv_ref, acc, cfg=cfg, H=H, W=W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, 0, :, :] = sgu_ref[:, :]
+        g0_ref[0, 1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_phase1_pg_b(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W,
+                       interpret):
+    M, hp, wp = frames_pad.shape[0], frames_pad.shape[3], frames_pad.shape[4]
+    A = _pg_layout(cfg)["A"]
+    kernel = functools.partial(_phase1_pg_kernel_b, cfg=cfg, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda m, k: (m, n_steps - 1 - k, 0, 0, 0)
+    g0, acc = pl.pallas_call(
+        kernel,
+        grid=(M, n_steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, hp, wp), lambda m, k: (m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, H, W), lambda m, k: (m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, 2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((M, A, H, W), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, frames_pad, fbar_pad)
+    return g0, acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_rollout_tp_2d_batched_pg(params, h0, cfg: PiCellConfig,
+                                   n_steps: int):
+    """Member-batched fully-fused rollout (k=1): forward + reverse sweep +
+    per-member parameter gradients in two pallas_calls."""
+    if cfg.kernel_size != 1:
+        raise NotImplementedError("batched pg path requires kernel_size=1")
+    return _forward_b(params, h0, cfg, n_steps)[0]
+
+
+def _fused_tp_b_pg_fwd(params, h0, cfg, n_steps):
+    frames, (packed, h0_pad, frames_pad) = _forward_b(params, h0, cfg, n_steps)
+    return frames, (params, packed, h0_pad, frames_pad)
+
+
+def _fused_tp_b_pg_bwd(cfg, n_steps, residuals, frames_bar):
+    params, packed, h0_pad, frames_pad = residuals
+    M, H, W = frames_bar.shape[0], frames_bar.shape[2], frames_bar.shape[3]
+    interpret = jax.default_backend() != "tpu"
+    hp, wp = h0_pad.shape[2], h0_pad.shape[3]
+
+    fbar_pad = jnp.zeros((M, n_steps, 2, hp, wp), jnp.float32)
+    fbar_pad = fbar_pad.at[:, :, :, HALO:HALO + H, HALO:HALO + W].set(
+        jnp.moveaxis(frames_bar[:, 1:].astype(jnp.float32), -1, 2)
+    )
+    h_prev_pad = jnp.concatenate([h0_pad[:, None], frames_pad[:, :-1]], axis=1)
+
+    g0_pad, acc = _fused_phase1_pg_b(
+        packed, h_prev_pad, fbar_pad,
+        cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+    )
+    h0_bar = (jnp.moveaxis(g0_pad[:, :, HALO:HALO + H, HALO:HALO + W], 1, -1)
+              + frames_bar[:, 0])
+    params_bar = jax.vmap(
+        lambda a, p: _pg_unpack(a.sum(axis=(1, 2)), p, cfg)
+    )(acc, params)
+    return params_bar, h0_bar.astype(frames_bar.dtype)
+
+
+fused_rollout_tp_2d_batched_pg.defvjp(_fused_tp_b_pg_fwd, _fused_tp_b_pg_bwd)

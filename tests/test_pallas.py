@@ -222,3 +222,95 @@ def test_fused_final_matches_full_rollout():
     last = fused_rollout_final_2d(params, h0, cfg, 6, interpret=True)
     np.testing.assert_allclose(np.asarray(last), np.asarray(full[-1]),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("diffusion", ["sigmoid", "raw"])
+def test_fully_fused_pg_gradients_match(diffusion):
+    """In-kernel parameter-gradient accumulation (no XLA phase-2) == autodiff
+    for 1x1-Pi cells, both diffusion reparametrisations."""
+    from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
+
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=1, dt=0.05, dx=0.2,
+                       diffusion=diffusion, mu_up=0.1,
+                       diff_init=0.05 if diffusion == "raw" else None,
+                       init_scale=0.3)
+    params = init_pi_cell(jax.random.PRNGKey(3), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (10, 12, 2), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (7, 10, 12, 2), jnp.float32)
+
+    def loss_pg(p, h):
+        return jnp.mean((fused_rollout_tp_2d_pg(p, h, cfg, 6) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 6, remat=False)
+        return jnp.mean((fr - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_pg(params, h0)),
+                               float(loss_ref(params, h0)), rtol=1e-5)
+    g1 = jax.grad(loss_pg, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )
+
+
+def test_fully_fused_pg_intermediate_frame_cotangents():
+    """Cotangents arriving on intermediate frames (data loss hits every
+    frame, not just the last) flow correctly through the fused-pg path."""
+    from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
+
+    cfg = PiCellConfig(ndim=2, hidden=3, kernel_size=1, dt=0.05, dx=0.2,
+                       diffusion="sigmoid", mu_up=0.1, init_scale=0.3)
+    params = init_pi_cell(jax.random.PRNGKey(6), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (8, 8, 2), jnp.float32)
+
+    def loss_pg(p, h):
+        fr = fused_rollout_tp_2d_pg(p, h, cfg, 5)
+        return jnp.mean(fr[::2] ** 2) + jnp.sum(fr[1] * fr[3])
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 5, remat=False)
+        return jnp.mean(fr[::2] ** 2) + jnp.sum(fr[1] * fr[3])
+
+    g1 = jax.grad(loss_pg, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )
+
+
+def test_batched_fully_fused_pg_gradients_match():
+    """Member-batched in-kernel parameter gradients == per-member autodiff."""
+    from percnn_tpu.ops.pallas.batched2d import fused_rollout_tp_2d_batched_pg
+
+    cfg = PiCellConfig(ndim=2, hidden=3, kernel_size=1, dt=0.05, dx=0.2,
+                       diffusion="sigmoid", mu_up=0.1, init_scale=0.3)
+    M = 3
+    params = jax.vmap(lambda k: init_pi_cell(k, cfg))(
+        jax.random.split(jax.random.PRNGKey(8), M))
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (M, 8, 10, 2),
+                                 jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(10), (M, 5, 8, 10, 2),
+                            jnp.float32)
+
+    def loss_pg(p, h):
+        return jnp.mean((fused_rollout_tp_2d_batched_pg(p, h, cfg, 4) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        fr = jax.vmap(lambda pp, hh: rollout(
+            lambda x: pi_cell_step(pp, x, cfg), hh, 4, remat=False))(p, h)
+        return jnp.mean((fr - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_pg(params, h0)),
+                               float(loss_ref(params, h0)), rtol=1e-5)
+    g1 = jax.grad(loss_pg, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )

@@ -383,10 +383,14 @@ def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
     _refresh_halos(sgv_ref, gv_prev, H, W)
 
 
-def _phase1_pg_kernel(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
-                      sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int, W: int,
-                      n_steps: int):
-    """Reverse sweep + in-kernel parameter-gradient accumulation (k=1)."""
+def _phase1_pg_kernel(p_ref, frames_ref, fbar_ref, g0_ref, acc_out_ref,
+                      sgu_ref, sgv_ref, acc_ref, *, cfg: PiCellConfig,
+                      H: int, W: int, n_steps: int):
+    """Reverse sweep + in-kernel parameter-gradient accumulation (k=1).
+
+    Accumulators live in VMEM *scratch* (read-modify-write across grid
+    steps is unambiguous there) and flush to the output once at the end.
+    """
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -407,6 +411,7 @@ def _phase1_pg_kernel(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
     def _():
         g0_ref[0, :, :] = sgu_ref[:, :]
         g0_ref[1, :, :] = sgv_ref[:, :]
+        acc_out_ref[:, :, :] = acc_ref[:, :, :]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
@@ -439,6 +444,7 @@ def _fused_phase1_pg(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W,
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.float32),
             pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((A, H, W), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,

@@ -261,9 +261,9 @@ from percnn_tpu.ops.pallas.backward2d import (  # noqa: E402
 )
 
 
-def _phase1_pg_kernel_b(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
-                        sgu_ref, sgv_ref, *, cfg: PiCellConfig, H: int,
-                        W: int, n_steps: int):
+def _phase1_pg_kernel_b(p_ref, frames_ref, fbar_ref, g0_ref, acc_out_ref,
+                        sgu_ref, sgv_ref, acc_ref, *, cfg: PiCellConfig,
+                        H: int, W: int, n_steps: int):
     m = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -271,10 +271,10 @@ def _phase1_pg_kernel_b(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
     def _():
         sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
         sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
-        acc_ref[:, :, :, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
 
     def acc(a, plane):
-        acc_ref[0, a] += plane
+        acc_ref[a] += plane
 
     _pg_step(_ParamRow(p_ref, m),
              frames_ref[0, 0, 0, :, :], frames_ref[0, 0, 1, :, :],
@@ -286,6 +286,7 @@ def _phase1_pg_kernel_b(p_ref, frames_ref, fbar_ref, g0_ref, acc_ref,
     def _():
         g0_ref[0, 0, :, :] = sgu_ref[:, :]
         g0_ref[0, 1, :, :] = sgv_ref[:, :]
+        acc_out_ref[0, :, :, :] = acc_ref[:, :, :]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
@@ -317,6 +318,7 @@ def _fused_phase1_pg_b(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W,
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.float32),
             pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((A, H, W), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,

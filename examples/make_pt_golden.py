@@ -44,9 +44,9 @@ def smooth_field(shape, seed, lo=0.1, hi=0.9):
 
 
 def periodic_pad(h, w):
-    """h: [1, C, *spatial]; wrap-pad by 2 on every spatial axis."""
+    """h: [1, C, *spatial]; wrap-pad by `w` cells on every spatial axis."""
     nd = h.ndim - 2
-    return F.pad(h, (2, 2) * nd, mode="circular")
+    return F.pad(h, (w, w) * nd, mode="circular")
 
 
 def torch_pi_step(sd, h, *, dt, mu_up, pi_padded, diff_names=("CA", "CB"),

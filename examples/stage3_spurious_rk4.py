@@ -42,9 +42,9 @@ cfg = Stage3Config(
     base=base,
     cell=cell,
     # reference-published 10%-noise Stage-2 coefficients (:123-137)
-    coef_init=((0.9910, -0.9962, 0.9929, -0.9988, 0.9921),
+    coef_init=((1.0081, -1.0167, 0.9973, -1.0176, 0.9981),
                (0.9873, -0.9987, -0.9945, -0.9985, -0.9928, 0.0065)),
-    nu_init=(0.0977, 0.0983),
+    nu_init=(0.09465, 0.09455),
     truth_coef={
         0: {"lap": 0.1, "u": 1.0, "u**3": -1.0, "u**2*v": 1.0,
             "u*v**2": -1.0, "v**3": 1.0},

@@ -42,6 +42,9 @@ def main(argv=None):
     pp.add_argument("--cpu", action="store_true")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--steps-per-call", type=int, default=None)
+    pp.add_argument("--stage1-recon", default=None,
+                    help="reuse a saved Stage-1 reconstruction .npz "
+                         "(skips Stage-1 training)")
 
     pe = sub.add_parser("ensemble", help="train K members (DP) in one jit")
     pe.add_argument("experiment")
@@ -82,6 +85,15 @@ def main(argv=None):
                         ".pt checkpoint to a framework .npz checkpoint")
     pi.add_argument("pt_path")
     pi.add_argument("--out", default="imported.ckpt.npz")
+
+    pf = sub.add_parser("profile", help="capture a jax.profiler device "
+                        "trace of N training iterations (TensorBoard/"
+                        "Perfetto viewable)")
+    pf.add_argument("experiment")
+    pf.add_argument("--iters", type=int, default=20)
+    pf.add_argument("--out", default="runs/profile")
+    pf.add_argument("--cache", default="data_cache")
+    pf.add_argument("--cpu", action="store_true")
 
     sub.add_parser("list", help="list experiment configs")
 
@@ -141,6 +153,25 @@ def main(argv=None):
     from percnn_tpu.experiments import EXPERIMENTS
 
     exp = EXPERIMENTS[args.experiment]
+
+    if args.cmd == "profile":
+        import jax.numpy as jnp
+        from percnn_tpu.experiments.runner import run_experiment
+        from percnn_tpu.utils.profiling import trace
+
+        trace_dir = os.path.join(args.out, f"{exp.name}.trace")
+        # warm the compile cache outside the trace so the capture shows
+        # steady-state device execution, not compilation
+        run_experiment(exp, out_dir=args.out, cache_dir=args.cache,
+                       n_iters_override=1, isg_pretrain_override=1,
+                       seed=0)
+        with trace(trace_dir):
+            run_experiment(exp, out_dir=args.out, cache_dir=args.cache,
+                           n_iters_override=args.iters,
+                           isg_pretrain_override=1, seed=0)
+        print(f"trace written to {trace_dir} (open with TensorBoard "
+              f"profile plugin or Perfetto)")
+        return 0
 
     if args.cmd == "export":
         from percnn_tpu.core.checkpoint import load_checkpoint_tree
@@ -203,6 +234,7 @@ def main(argv=None):
             exp, out_dir=args.out, cache_dir=args.cache,
             stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
             steps_per_call=args.steps_per_call,
+            stage1_recon=args.stage1_recon,
             seed=args.seed,
         )
         ident_u = {n: float(c) for n, c in

@@ -73,18 +73,20 @@ def load_checkpoint(path: str, like: Any):
 
 import re as _re
 
-_KEY_RE = _re.compile(r"\[(?:'([^']*)'|(\d+))\]")
+# jax.tree_util.keystr segments: ['key'] (dict), [3] (sequence),
+# .attr (NamedTuple/dataclass field, e.g. optax ScaleByAdamState '.mu')
+_KEY_RE = _re.compile(r"\['([^']*)'\]|\[(\d+)\]|\.([A-Za-z_][A-Za-z0-9_]*)")
 
 
 def load_checkpoint_tree(path: str):
     """Template-free load: rebuild nested dicts/lists from the stored
     keypath strings; returns (tree, meta).
 
-    Covers checkpoints whose structure is dicts + lists/tuples of arrays
-    (everything this framework saves).  Integer keys become list slots;
-    tuples come back as lists — fine for parameter pytrees, which jax
-    treats positionally.  Use `load_checkpoint(path, like)` when the exact
-    container types (e.g. optax NamedTuples) must be restored.
+    Integer keys become list slots; tuples come back as lists and
+    NamedTuple fields (e.g. optax optimizer state) come back as dicts keyed
+    by field name — fine for inspection/export of parameter pytrees, which
+    jax treats positionally.  Use `load_checkpoint(path, like)` when the
+    exact container types must be restored (e.g. to resume an optimizer).
     """
     with np.load(path, allow_pickle=False) as z:
         paths = json.loads(str(z["__paths__"]))
@@ -93,17 +95,27 @@ def load_checkpoint_tree(path: str):
 
     root: dict = {}
     for p, leaf in zip(paths, leaves):
-        # findall yields ('name', '') for dict keys, ('', 'idx') for
-        # sequence slots
-        keys = [name if name else int(idx) for name, idx in _KEY_RE.findall(p)]
+        keys = []
+        for m in _KEY_RE.finditer(p):
+            name, idx, attr = m.groups()
+            keys.append(int(idx) if idx is not None
+                        else (name if name is not None else attr))
+        if not keys:
+            raise ValueError(f"unparseable checkpoint keypath {p!r}")
         node = root
-        for a, b in zip(keys, keys[1:]):
+        for a in keys[:-1]:
             node = node.setdefault(a, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"keypath {p!r} descends into a leaf — unsupported "
+                    f"checkpoint structure; use load_checkpoint(path, like)")
         node[keys[-1]] = leaf
 
     def listify(node):
         if isinstance(node, dict):
             if node and all(isinstance(k, int) for k in node):
+                if sorted(node) != list(range(len(node))):
+                    raise ValueError("non-contiguous sequence keypaths")
                 return [listify(node[i]) for i in range(len(node))]
             return {k: listify(v) for k, v in node.items()}
         return node

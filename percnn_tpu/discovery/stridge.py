@@ -35,17 +35,46 @@ def _ridge(X: np.ndarray, y: np.ndarray, lam: float) -> np.ndarray:
     return _lstsq(X.T @ X + lam * np.eye(d), X.T @ y)
 
 
+class _GramSolver:
+    """Normal-equation solver over precomputed Gram matrices.
+
+    For the tolerance/Pareto searches STRidge performs thousands of
+    ridge/lstsq solves on column subsets of the same [n, d] matrix with
+    n >> d (e.g. 160k x 70).  Precomputing G = X'X and b = X'y once turns
+    each solve into an O(d^3) subproblem and each holdout error into an
+    O(d^2) form — the full-size LO Pareto sweep drops from hours to
+    seconds, bit-comparable at f64 (the reference's own ridge step already
+    solves the normal equations, PDE_FIND_u.py:110-182)."""
+
+    def __init__(self, X: np.ndarray, y: np.ndarray):
+        self.n, self.d = X.shape
+        self.G = X.T @ X
+        self.b = X.T @ y
+        self.yty = float(y.T @ y)
+
+    def ridge(self, lam: float, idx=None) -> np.ndarray:
+        G, b = (self.G, self.b) if idx is None else \
+            (self.G[np.ix_(idx, idx)], self.b[idx])
+        if lam:
+            G = G + lam * np.eye(len(b))
+        return _lstsq(G, b)
+
+    def mse(self, w: np.ndarray) -> float:
+        """mean((y - X w)^2) via the quadratic form."""
+        return float((self.yty - 2.0 * (w.T @ self.b)
+                      + w.T @ (self.G @ w)) / self.n)
+
+
 def _stridge_inner(
-    X: np.ndarray,
-    y: np.ndarray,
+    train: _GramSolver,
     lam: float,
     n_iters: int,
     tol: float,
     must_have: int | None,
 ) -> np.ndarray:
-    """Sequential threshold ridge on an already-normalised X."""
-    d = X.shape[1]
-    w = _ridge(X, y, lam)
+    """Sequential threshold ridge on an already-normalised design."""
+    d = train.d
+    w = train.ridge(lam)
     biginds = list(np.where(np.abs(w) > tol)[0])
     num_relevant = d
     for j in range(n_iters):
@@ -62,10 +91,10 @@ def _stridge_inner(
             break
         biginds = new_biginds
         w[smallinds] = 0
-        w[biginds] = _ridge(X[:, biginds], y, lam)
+        w[biginds] = train.ridge(lam, biginds)
     if biginds:
         w_final = np.zeros_like(w)
-        w_final[biginds] = _lstsq(X[:, biginds], y)
+        w_final[biginds] = train.ridge(0.0, biginds)
         return w_final
     return w
 
@@ -93,6 +122,8 @@ class STRidge:
         mask = rng.rand(n) < self.split_ratio
         self.TrainR, self.TestR = R[mask], R[~mask]
         self.TrainY, self.TestY = self.Ut[mask], self.Ut[~mask]
+        self._train = _GramSolver(self.TrainR, self.TrainY)
+        self._test = _GramSolver(self.TestR, self.TestY)
 
     def train(
         self,
@@ -107,15 +138,15 @@ class STRidge:
     ) -> np.ndarray:
         """Returns the de-normalised coefficient vector [d, 1]."""
         tol = d_tol
-        w_best = _lstsq(self.TrainR, self.TrainY)
-        err_f = float(np.mean((self.TestY - self.TestR @ w_best) ** 2))
+        w_best = self._train.ridge(0.0)
+        err_f = self._test.mse(w_best)
         if l0_penalty is None:
             l0_penalty = kappa * err_f
         err_best = err_f + l0_penalty * np.count_nonzero(w_best)
 
         for it in range(maxit):
-            w = _stridge_inner(self.TrainR, self.TrainY, lam, stridge_iters, tol, must_have)
-            err_f = float(np.mean((self.TestY - self.TestR @ w) ** 2))
+            w = _stridge_inner(self._train, lam, stridge_iters, tol, must_have)
+            err_f = self._test.mse(w)
             err = err_f + l0_penalty * np.count_nonzero(w)
             if verbose:
                 print(f"iter {it}: tol={tol:.6f} err_f={err_f:.3e} nnz={np.count_nonzero(w)}")
@@ -126,6 +157,13 @@ class STRidge:
                 tol = max(0.0, tol - 2 * d_tol)
                 d_tol = 2 * d_tol / (maxit - it)
                 tol = tol + d_tol
+
+        # exact (non-Gram) lstsq refit of the returned support so published
+        # coefficients keep full lstsq conditioning
+        support = np.where(np.abs(w_best[:, 0]) > 0)[0]
+        if 0 < len(support) < self._train.d:
+            w_best = np.zeros_like(w_best)
+            w_best[support] = _lstsq(self.TrainR[:, support], self.TrainY)
         return self.Mreg * w_best
 
 

@@ -63,10 +63,14 @@ def run_ensemble(
 
     mesh: optional jax Mesh — the member axis of every stacked array/param
     is sharded over `member_axis` (pure DP; each member stays whole).
-    bptt: 'auto' picks the member-batched fused Pallas rollout
-    (ops/pallas/batched2d.py — one pallas_call over an (M, T) grid) on a
-    single TPU for fusable 2D cells, else the vmapped two-phase path;
-    'fused'/'two_phase' force a path.
+    bptt: 'auto' picks, for fusable 2D cells on one TPU, a static
+    per-member loop of single fused rollouts inside one jit (measured
+    fastest: each member runs at single-model fused cost with zero extra
+    dispatches — 41 ms vs 64 ms for the (M, T)-grid batched kernel and
+    81 ms for vmapped two_phase at M=4, T=800, GS2D shape); otherwise the
+    vmapped two-phase path.  Explicit choices: 'fused', 'fused_pg'
+    (in-kernel parameter gradients, k=1), 'batched' / 'batched_pg' (the
+    (M, T)-grid kernels from ops/pallas/batched2d.py), 'two_phase'.
     Returns per-member and aggregate rel-L2.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -163,6 +167,39 @@ def run_ensemble(
                     )
                     t_m, a_m = build_loss_fn(
                         prob_m, steps, rollout_fn=lambda _p, f=frames_m: f)(p_m)
+                    totals.append(t_m)
+                    auxs.append(a_m)
+                aux = {k: jnp.mean(jnp.stack([a[k] for a in auxs]))
+                       for k in auxs[0]}
+                return jnp.mean(jnp.stack(totals)), aux
+        elif bptt in ("batched", "batched_pg"):
+            # the (M, T)-grid kernels: one pallas_call for ALL members
+            from percnn_tpu.core.isg import isg_apply
+            from percnn_tpu.ops.pallas.batched2d import (
+                fused_rollout_tp_2d_batched, fused_rollout_tp_2d_batched_pg,
+            )
+            broll = (fused_rollout_tp_2d_batched_pg if bptt == "batched_pg"
+                     else fused_rollout_tp_2d_batched)
+
+            def ens_loss(params):
+                if exp.isg is not None:
+                    h0_all = jax.vmap(
+                        lambda p, ic: isg_apply(p, ic, exp.isg)[0]
+                    )(params["isg"], batched.ic_low)
+                else:
+                    h0_all = batched.h0
+                frames_all = broll(params["cell"], h0_all, exp.cell, steps)
+                totals, auxs = [], []
+                for m in range(n_members):
+                    prob_m = Problem(
+                        exp, truth,
+                        None if batched.h0 is None else batched.h0[m],
+                        None if batched.ic_low is None else batched.ic_low[m],
+                        None if batched.measurement is None else batched.measurement[m],
+                    )
+                    t_m, a_m = build_loss_fn(
+                        prob_m, steps,
+                        rollout_fn=lambda _p, f=frames_all[m]: f)(_member(params, m))
                     totals.append(t_m)
                     auxs.append(a_m)
                 aux = {k: jnp.mean(jnp.stack([a[k] for a in auxs]))

@@ -89,20 +89,32 @@ def run_discovery_pipeline(
     truth_terms: dict | None = None,
     dtype=None,
     steps_per_call: int | None = None,
+    stage1_recon: str | None = None,
     seed: int = 0,
 ) -> dict:
-    """Stage-1 -> Stage-2 -> Stage-3 on one experiment config."""
+    """Stage-1 -> Stage-2 -> Stage-3 on one experiment config.
+
+    stage1_recon: path to a saved Stage-1 reconstruction .npz — skips the
+    Stage-1 training and regresses on that artifact instead (the
+    reference's own workflow: its Stage-2 scripts load the .mat a separate
+    Stage-1 run saved, PDE_FIND_u.py:220-222)."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- Stage 1: reconstruction --------------------------------------
-    s1 = run_experiment(exp, out_dir=out_dir, cache_dir=cache_dir, dtype=dtype,
-                        n_iters_override=stage1_iters,
-                        steps_per_call=steps_per_call, seed=seed)
-    recon = s1["frames"]  # [T+1, H, W, 2]
-    save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
+    if stage1_recon is not None:
+        from percnn_tpu.data.io import load_npz
+
+        recon = load_npz(stage1_recon)
+        s1 = {"rel_l2": None, "frames": recon, "reused": stage1_recon}
+    else:
+        s1 = run_experiment(exp, out_dir=out_dir, cache_dir=cache_dir,
+                            dtype=dtype, n_iters_override=stage1_iters,
+                            steps_per_call=steps_per_call, seed=seed)
+        recon = s1["frames"]  # [T+1, H, W, 2]
+        save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
 
     # ---- Stage 2: sparse regression -----------------------------------
     lib = gen_library()

@@ -490,11 +490,14 @@ def fused_rollout_tp_2d_pg(params, h0, cfg: PiCellConfig, n_steps: int):
     """Fully-fused differentiable rollout for 1x1-Pi cells: forward, reverse
     sweep AND parameter gradients in two pallas_calls (no XLA phase 2).
 
-    Exact gradients (parity-tested against autodiff); k=1 only — the 5x5
-    cells' 4800 gradient planes would not fit VMEM, they keep the hybrid
-    `fused_rollout_tp_2d` path."""
-    if cfg.kernel_size != 1:
-        raise NotImplementedError("fused_rollout_tp_2d_pg requires kernel_size=1")
+    Exact gradients (parity-tested against autodiff); 2D k=1 only — the
+    5x5 cells' 4800 gradient planes would not fit VMEM, they keep the
+    hybrid `fused_rollout_tp_2d` path.  Computes in f32 (like all the
+    fused kernels)."""
+    if cfg.ndim != 2 or cfg.kernel_size != 1:
+        raise NotImplementedError(
+            "fused_rollout_tp_2d_pg requires ndim=2, kernel_size=1 "
+            f"(got ndim={cfg.ndim}, kernel_size={cfg.kernel_size})")
     return _forward(params, h0, cfg, n_steps)[0]
 
 

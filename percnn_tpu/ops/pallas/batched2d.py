@@ -4,10 +4,16 @@ The single-instance kernels in cell2d.py / backward2d.py carry the state in
 VMEM scratch across a (T,) grid; a `vmap` over them would fall back to a
 serial loop of separate pallas_calls.  These variants add a leading MEMBER
 grid dimension instead: grid = (M, T) walks members outer / time inner, so
-K independent rollouts (distinct params + initial states — the ensemble
-trainer's data-parallel axis, experiments/ensemble.py) execute as ONE
+K independent rollouts (distinct params + initial states) execute as ONE
 pallas_call with zero per-member dispatch overhead and the state still
 VMEM-resident per member.
+
+These are the OPT-IN `bptt='batched'/'batched_pg'` modes of the ensemble
+trainer (experiments/ensemble.py).  Its 'auto' default is a static
+per-member loop of the single-member fused kernels inside one jit, which
+measured faster (41 vs 64 ms at M=4, T=800, GS2D shape) — the (M, T)-grid
+variants are kept because they scale to member counts where the unrolled
+loop would bloat compile time.
 
 Per-member parameters live in one [M, P] SMEM table indexed by
 program_id(0); blocks of init/out stream per (m, t) through the normal
@@ -329,10 +335,12 @@ def _fused_phase1_pg_b(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_rollout_tp_2d_batched_pg(params, h0, cfg: PiCellConfig,
                                    n_steps: int):
-    """Member-batched fully-fused rollout (k=1): forward + reverse sweep +
-    per-member parameter gradients in two pallas_calls."""
-    if cfg.kernel_size != 1:
-        raise NotImplementedError("batched pg path requires kernel_size=1")
+    """Member-batched fully-fused rollout (2D k=1): forward + reverse sweep
+    + per-member parameter gradients in two pallas_calls."""
+    if cfg.ndim != 2 or cfg.kernel_size != 1:
+        raise NotImplementedError(
+            "batched pg path requires ndim=2, kernel_size=1 "
+            f"(got ndim={cfg.ndim}, kernel_size={cfg.kernel_size})")
     return _forward_b(params, h0, cfg, n_steps)[0]
 
 

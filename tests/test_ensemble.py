@@ -70,3 +70,22 @@ def test_ensemble_forward_sim(tmp_path):
                        warmup=30, seed=0)
     assert len(res["rel_l2_members"]) == 2
     assert np.isfinite(res["history"]).all()
+
+
+def test_ensemble_batched_modes_run(tmp_path):
+    """Opt-in (M, T)-grid batched kernels train end-to-end (interpret on CPU)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from percnn_tpu.experiments.configs import GS2D_RECON
+    from percnn_tpu.experiments.ensemble import run_ensemble
+
+    exp = dataclasses.replace(
+        GS2D_RECON, grid=16, train_steps=6, infer_steps=6, curriculum=(),
+        train=dataclasses.replace(GS2D_RECON.train, n_iters=2, log_every=1),
+        isg_pretrain_iters=5)
+    for mode in ("batched", "batched_pg"):
+        res = run_ensemble(exp, 2, out_dir=str(tmp_path / mode),
+                           cache_dir=str(tmp_path / "cache"),
+                           n_iters_override=2, isg_pretrain_override=5,
+                           bptt=mode, seed=0)
+        assert len(res["rel_l2_members"]) == 2

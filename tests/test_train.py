@@ -200,3 +200,23 @@ def test_load_checkpoint_tree_template_free(tmp_path):
                                   np.full((2, 4), 2.0))
     np.testing.assert_array_equal(got["params"]["cell"]["diff"],
                                   np.asarray([0.1, 0.2], np.float32))
+
+
+def test_load_checkpoint_tree_optimizer_state(tmp_path):
+    """Trainer checkpoints carry optax NamedTuple state; the template-free
+    loader must parse '.mu'/'.count'-style keypath segments (the CLI
+    `export --ckpt <run checkpoint>` chain depends on this)."""
+    from percnn_tpu.core.checkpoint import load_checkpoint_tree
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2), {}
+
+    ck = str(tmp_path / "opt.npz")
+    cfg = TrainConfig(n_iters=3, lr=0.01, ckpt_path=ck, ckpt_every=1)
+    train(loss_fn, {"w": jnp.ones(3)}, cfg)
+    tree, meta = load_checkpoint_tree(ck)
+    np.testing.assert_array_equal(tree["params"]["w"].shape, (3,))
+    # optax chain state resolves to nested dicts with field-name keys
+    flat = jax.tree_util.tree_leaves(tree["opt_state"])
+    assert len(flat) >= 2  # at least mu/nu (+ counts)
+    assert meta["iteration"] == 3

@@ -208,14 +208,20 @@ def pareto_sweep(
     return np.asarray(gammas), np.asarray(ls_loss), np.asarray(l0_count), ws
 
 
-def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray) -> int:
+def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray,
+                alpha: float = 3.0) -> int:
     """Index of the Pareto-front knee of (||w||_0, LS loss).
 
     The reference selects gamma by eye from the front plot (LO Stage-2
-    PDE_FIND_u.py:297-335 saves select_gamma_u.png); this automates the
-    pick: keep the Pareto-efficient points, min-max normalise both axes
-    (log10 on the loss, which spans decades) and take the point closest to
-    the utopia corner (0, 0)."""
+    PDE_FIND_u.py:297-335 saves select_gamma_u.png) — the human picks the
+    sparsest model after which the loss stops improving dramatically.
+    Automated analog: the densest front points fit measurement/
+    reconstruction noise, so their loss estimates the achievable floor;
+    any denser model that only shaves the loss within a factor `alpha` of
+    that floor is fitting noise.  Pick the SPARSEST Pareto-efficient point
+    with ls <= alpha * min(ls).  (The previous utopia-distance metric
+    preferred an 8-term over the true 6-term λ–Ω equation because the
+    front's long flat tail compressed the loss axis.)"""
     ls = np.asarray(ls_loss, float)
     l0 = np.asarray(l0_count, float)
     eff = []
@@ -229,10 +235,10 @@ def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray) -> int:
     if not eff:
         return int(np.argmin(ls))
     eff = np.asarray(eff)
-    log_ls = np.log10(np.maximum(ls[eff], 1e-300))
-    span = lambda x: (x - x.min()) / max(x.max() - x.min(), 1e-12)
-    d = span(log_ls) ** 2 + span(l0[eff]) ** 2
-    return int(eff[np.argmin(d)])
+    floor = ls[eff].min()
+    ok = eff[ls[eff] <= alpha * floor]
+    order = np.lexsort((ls[ok], l0[ok]))   # sparsest, then lowest loss
+    return int(ok[order[0]])
 
 
 def pareto_select(trainer: STRidge, **sweep_kwargs):

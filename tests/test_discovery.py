@@ -142,10 +142,15 @@ def test_pareto_knee_degenerate_inputs():
     # all-zero supports fall back to min loss
     i = pareto_knee(np.array([3.0, 1.0, 2.0]), np.array([0, 0, 0]))
     assert i == 1
-    # monotone trade-off: knee sits between the extremes
+    # flat tail: denser points only shave the loss within the noise
+    # floor x alpha -> the sparsest such point wins (the true model)
+    ls = np.array([2.0e-4, 1.3e-4, 1.0e-4, 1e-2])
+    l0 = np.array([8, 5, 10, 3])
+    assert pareto_knee(ls, l0) == 1
+    # a dramatic (beyond-alpha) improvement is NOT noise: take it
     ls = np.array([1e-6, 1e-4, 1.0])
     l0 = np.array([10, 3, 1])
-    assert pareto_knee(ls, l0) == 1
+    assert pareto_knee(ls, l0) == 0
 
 
 def test_symbolic_extraction_roundtrip():

@@ -9,8 +9,13 @@ pg path can be promoted to the auto default once it is within autodiff's
 own f32 noise.
 """
 
-import numpy as np
 import jax
+
+# the CPU referee below must run in true f64 (without this, jnp.asarray(x,
+# float64) silently truncates to f32 and the comparison is meaningless)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
 import jax.numpy as jnp
 import jax.tree_util as tu
 

@@ -20,4 +20,4 @@ run stage3_spurious python examples/stage3_spurious_rk4.py \
     runs/round2/stage3_spurious 2000
 run gs2d_ensemble python -m percnn_tpu ensemble gs2d_recon --members 4 \
     --iters 12000 --out runs/round2/gs2d_ens
-echo "ALL DONE $(date -u +%H:%M:%S)" >> runs/round2/driver.log
+echo "QUEUE2 DONE $(date -u +%H:%M:%S)" >> runs/round2/driver.log

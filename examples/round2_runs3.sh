@@ -6,7 +6,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
-while ! grep -q 'ALL DONE' runs/round2/driver.log; do sleep 60; done
+while ! grep -q 'QUEUE2 DONE' runs/round2/driver.log; do sleep 60; done
 
 run() {
   name=$1; shift

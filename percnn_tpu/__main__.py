@@ -155,7 +155,6 @@ def main(argv=None):
     exp = EXPERIMENTS[args.experiment]
 
     if args.cmd == "profile":
-        import jax.numpy as jnp
         from percnn_tpu.experiments.runner import run_experiment
         from percnn_tpu.utils.profiling import trace
 

@@ -96,12 +96,19 @@ def load_checkpoint_tree(path: str):
     root: dict = {}
     for p, leaf in zip(paths, leaves):
         keys = []
+        covered = 0
         for m in _KEY_RE.finditer(p):
+            if m.start() != covered:
+                break
+            covered = m.end()
             name, idx, attr = m.groups()
             keys.append(int(idx) if idx is not None
                         else (name if name is not None else attr))
-        if not keys:
-            raise ValueError(f"unparseable checkpoint keypath {p!r}")
+        if not keys or covered != len(p):
+            # e.g. '[<flat index 0>]' from a pytree node registered without
+            # key support — refusing beats silently collapsing leaves
+            raise ValueError(f"unparseable checkpoint keypath {p!r}; "
+                             f"use load_checkpoint(path, like)")
         node = root
         for a in keys[:-1]:
             node = node.setdefault(a, {})

@@ -50,7 +50,7 @@ class _GramSolver:
         self.n, self.d = X.shape
         self.G = X.T @ X
         self.b = X.T @ y
-        self.yty = float(y.T @ y)
+        self.yty = (y.T @ y).item()
 
     def ridge(self, lam: float, idx=None) -> np.ndarray:
         G, b = (self.G, self.b) if idx is None else \
@@ -61,8 +61,8 @@ class _GramSolver:
 
     def mse(self, w: np.ndarray) -> float:
         """mean((y - X w)^2) via the quadratic form."""
-        return float((self.yty - 2.0 * (w.T @ self.b)
-                      + w.T @ (self.G @ w)) / self.n)
+        return ((self.yty - 2.0 * (w.T @ self.b)
+                 + w.T @ (self.G @ w)) / self.n).item()
 
 
 def _stridge_inner(
@@ -124,6 +124,10 @@ class STRidge:
         self.TrainY, self.TestY = self.Ut[mask], self.Ut[~mask]
         self._train = _GramSolver(self.TrainR, self.TrainY)
         self._test = _GramSolver(self.TestR, self.TestY)
+        # dense initial solution: exact lstsq on X (NOT the Gram — the
+        # cubic library is collinear enough that kappa(G)=kappa(X)^2
+        # matters), constant across train() calls so computed once
+        self._w_dense = _lstsq(self.TrainR, self.TrainY)
 
     def train(
         self,
@@ -138,7 +142,7 @@ class STRidge:
     ) -> np.ndarray:
         """Returns the de-normalised coefficient vector [d, 1]."""
         tol = d_tol
-        w_best = self._train.ridge(0.0)
+        w_best = self._w_dense.copy()
         err_f = self._test.mse(w_best)
         if l0_penalty is None:
             l0_penalty = kappa * err_f

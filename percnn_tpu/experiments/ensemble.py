@@ -130,6 +130,31 @@ def run_ensemble(
                    and jax.default_backend() == "tpu")
         bptt = "fused" if fusable else "two_phase"  # fused_pg: opt-in (see runner)
 
+    if bptt not in ("fused", "fused_pg", "batched", "batched_pg", "two_phase"):
+        raise ValueError(f"unknown bptt mode {bptt!r}")
+
+    def _member_problem(m):
+        return Problem(
+            exp, truth,
+            None if batched.h0 is None else batched.h0[m],
+            None if batched.ic_low is None else batched.ic_low[m],
+            None if batched.measurement is None else batched.measurement[m],
+        )
+
+    def _combine(params, steps, frames_for):
+        """Per-member composite losses from precomputed frames, averaged —
+        the one place the ensemble loss is composed (all fused/batched
+        modes share it)."""
+        totals, auxs = [], []
+        for m in range(n_members):
+            t_m, a_m = build_loss_fn(
+                _member_problem(m), steps,
+                rollout_fn=lambda _p, f=frames_for(m): f)(_member(params, m))
+            totals.append(t_m)
+            auxs.append(a_m)
+        aux = {k: jnp.mean(jnp.stack([a[k] for a in auxs])) for k in auxs[0]}
+        return jnp.mean(jnp.stack(totals)), aux
+
     stages = list(exp.curriculum) + [exp.train_steps]
     n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters
     per_stage = max(1, n_total // len(stages))
@@ -144,34 +169,19 @@ def run_ensemble(
             roll = (fused_rollout_tp_2d_pg if bptt == "fused_pg"
                     else fused_rollout_tp_2d)
 
-            def ens_loss(params):
+            def ens_loss(params, steps=steps, roll=roll):
                 # static per-member loop of fused rollouts, all inside ONE
                 # jitted update: measured faster than both the (M, T)-grid
                 # batched kernel (41 vs 64 ms at M=4, T=800, GS2D shape)
                 # and vmapped two_phase (81 ms) — each member runs at the
                 # single-model fused cost with zero extra dispatches.
-                totals, auxs = [], []
-                for m in range(n_members):
+                def frames_for(m):
                     p_m = _member(params, m)
-                    if exp.isg is not None:
-                        h0_m = isg_apply(p_m["isg"], batched.ic_low[m],
-                                         exp.isg)[0]
-                    else:
-                        h0_m = batched.h0[m]
-                    frames_m = roll(p_m["cell"], h0_m, exp.cell, steps)
-                    prob_m = Problem(
-                        exp, truth,
-                        None if batched.h0 is None else batched.h0[m],
-                        None if batched.ic_low is None else batched.ic_low[m],
-                        None if batched.measurement is None else batched.measurement[m],
-                    )
-                    t_m, a_m = build_loss_fn(
-                        prob_m, steps, rollout_fn=lambda _p, f=frames_m: f)(p_m)
-                    totals.append(t_m)
-                    auxs.append(a_m)
-                aux = {k: jnp.mean(jnp.stack([a[k] for a in auxs]))
-                       for k in auxs[0]}
-                return jnp.mean(jnp.stack(totals)), aux
+                    h0_m = (isg_apply(p_m["isg"], batched.ic_low[m], exp.isg)[0]
+                            if exp.isg is not None else batched.h0[m])
+                    return roll(p_m["cell"], h0_m, exp.cell, steps)
+
+                return _combine(params, steps, frames_for)
         elif bptt in ("batched", "batched_pg"):
             # the (M, T)-grid kernels: one pallas_call for ALL members
             from percnn_tpu.core.isg import isg_apply
@@ -181,7 +191,7 @@ def run_ensemble(
             broll = (fused_rollout_tp_2d_batched_pg if bptt == "batched_pg"
                      else fused_rollout_tp_2d_batched)
 
-            def ens_loss(params):
+            def ens_loss(params, steps=steps, broll=broll):
                 if exp.isg is not None:
                     h0_all = jax.vmap(
                         lambda p, ic: isg_apply(p, ic, exp.isg)[0]
@@ -189,24 +199,9 @@ def run_ensemble(
                 else:
                     h0_all = batched.h0
                 frames_all = broll(params["cell"], h0_all, exp.cell, steps)
-                totals, auxs = [], []
-                for m in range(n_members):
-                    prob_m = Problem(
-                        exp, truth,
-                        None if batched.h0 is None else batched.h0[m],
-                        None if batched.ic_low is None else batched.ic_low[m],
-                        None if batched.measurement is None else batched.measurement[m],
-                    )
-                    t_m, a_m = build_loss_fn(
-                        prob_m, steps,
-                        rollout_fn=lambda _p, f=frames_all[m]: f)(_member(params, m))
-                    totals.append(t_m)
-                    auxs.append(a_m)
-                aux = {k: jnp.mean(jnp.stack([a[k] for a in auxs]))
-                       for k in auxs[0]}
-                return jnp.mean(jnp.stack(totals)), aux
-        else:
-            def ens_loss(params):
+                return _combine(params, steps, lambda m: frames_all[m])
+        else:  # two_phase
+            def ens_loss(params, steps=steps):
                 def one(p, h0, ic_low, meas):
                     prob_i = Problem(exp, truth, h0, ic_low, meas)
                     # two_phase plays cleanly under vmap

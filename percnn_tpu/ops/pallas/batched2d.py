@@ -255,9 +255,11 @@ fused_rollout_tp_2d_batched.defvjp(_fused_tp_b_fwd, _fused_tp_b_bwd)
 
 # ---------------------------------------------------------------------------
 # Member-batched fully-fused backward (k=1): per-member parameter-gradient
-# plane accumulators live in the pinned output block; when the member grid
-# index advances, Pallas flushes the finished member's accumulators and
-# brings in the next.  No XLA phase-2, no g_ins stream.
+# plane accumulators live in VMEM *scratch* (read-modify-write across the
+# sequential time grid is only unambiguous there — accumulating into a
+# revisited output block produced ~3e-3-wrong gradients on real TPU) and
+# flush to the member's output slot at the last time step.  No XLA
+# phase-2, no g_ins stream.
 # ---------------------------------------------------------------------------
 
 from percnn_tpu.ops.pallas.backward2d import (  # noqa: E402

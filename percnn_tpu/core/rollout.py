@@ -114,8 +114,15 @@ def chunked_param_grads(step_fn, params, h_prev, g_ins, n_steps: int,
     Zero-padded tail steps contribute zero gradient (zero cotangent)."""
 
     def pgrad(h_t, g_in):
-        _, vjp_p = jax.vjp(lambda p: step_fn(p, h_t), params)
-        return vjp_p(g_in)[0]
+        # HIGHEST matmul precision: with the TPU default (bf16 multiplies),
+        # the einsum-based parameter-gradient reductions lose ~3 decimal
+        # digits (measured 3e-3 worst-leaf vs f64 truth; the fused-pg
+        # kernel's full-f32 VPU accumulation measures 5e-6 — see
+        # examples/debug_pg.py).  These [*, HW]-contraction matmuls are a
+        # small fraction of step time, so exactness here is ~free.
+        with jax.default_matmul_precision("highest"):
+            _, vjp_p = jax.vjp(lambda p: step_fn(p, h_t), params)
+            return vjp_p(g_in)[0]
 
     chunk = min(chunk, n_steps)
     n_chunks = -(-n_steps // chunk)

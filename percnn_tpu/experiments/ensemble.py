@@ -128,7 +128,8 @@ def run_ensemble(
                    and exp.cell.kernel_size in (1, 3, 5)
                    and dtype == jnp.float32
                    and jax.default_backend() == "tpu")
-        bptt = "fused" if fusable else "two_phase"  # fused_pg: opt-in (see runner)
+        bptt = ("fused_pg" if fusable and exp.cell.kernel_size == 1
+                else "fused" if fusable else "two_phase")
 
     if bptt not in ("fused", "fused_pg", "batched", "batched_pg", "two_phase"):
         raise ValueError(f"unknown bptt mode {bptt!r}")

@@ -135,10 +135,13 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
         fused_ok = (fusable_k and h0.dtype == jnp.float32
                     and jax.default_backend() == "tpu"
                     and (cell.ndim == 2 or aligned3d))
-        # NOTE: 'fused_pg' (in-kernel pgrads) stays opt-in until its small
-        # real-TPU numeric deviation vs autodiff (~3e-3 max-rel on some
-        # leaves; exact in interpret mode) is root-caused.
-        bptt = "fused" if fused_ok else "two_phase"
+        # fused_pg preferred for k=1 2D: its in-kernel f32 VPU gradient
+        # accumulation measures 5e-6 worst-leaf vs f64 truth where TPU
+        # autodiff's bf16-multiply matmul path measures 3e-3
+        # (examples/debug_pg.py), and it removes the XLA phase-2 entirely.
+        bptt = ("fused_pg" if fused_ok and cell.ndim == 2
+                and cell.kernel_size == 1
+                else "fused" if fused_ok else "two_phase")
     if bptt == "fused_pg":
         from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
 

@@ -135,17 +135,22 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
         fused_ok = (fusable_k and h0.dtype == jnp.float32
                     and jax.default_backend() == "tpu"
                     and (cell.ndim == 2 or aligned3d))
-        # fused_pg preferred for k=1 2D: its in-kernel f32 VPU gradient
-        # accumulation measures 5e-6 worst-leaf vs f64 truth where TPU
-        # autodiff's bf16-multiply matmul path measures 3e-3
-        # (examples/debug_pg.py), and it removes the XLA phase-2 entirely.
-        bptt = ("fused_pg" if fused_ok and cell.ndim == 2
-                and cell.kernel_size == 1
+        # fused_pg preferred for k=1 cells (2D and aligned 3D): in-kernel
+        # f32 VPU gradient accumulation measures 5e-6 worst-leaf vs f64
+        # truth where TPU autodiff's bf16-multiply matmul path measures
+        # 3e-3 (examples/debug_pg.py), and removing the XLA phase-2 is
+        # also faster — 5.2x for the GS3D workload (10.6 vs 54.9 ms/iter,
+        # T=300 48^3).
+        bptt = ("fused_pg" if fused_ok and cell.kernel_size == 1
                 else "fused" if fused_ok else "two_phase")
     if bptt == "fused_pg":
-        from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
+        if cell.ndim == 2:
+            from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d_pg
 
-        return fused_rollout_tp_2d_pg(params["cell"], h0, cell, n_steps)
+            return fused_rollout_tp_2d_pg(params["cell"], h0, cell, n_steps)
+        from percnn_tpu.ops.pallas.backward3d import fused_rollout_tp_3d_pg
+
+        return fused_rollout_tp_3d_pg(params["cell"], h0, cell, n_steps)
     if bptt == "fused":
         if cell.ndim == 2:
             from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d

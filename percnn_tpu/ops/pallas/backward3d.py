@@ -179,3 +179,166 @@ def _fused_tp3d_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
 
 
 fused_rollout_tp_3d.defvjp(_fused_tp3d_fwd, _fused_tp3d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused 3D backward (pointwise Pi): parameter gradients accumulate in
+# VMEM scratch planes during the reverse sweep — no XLA phase-2, no g_ins
+# stream, full-f32 accumulation (the XLA pgrad einsums run bf16 multiplies
+# by TPU default; see backward2d.py and examples/debug_pg.py).
+# Layout/unpack are shared with 2D (_pg_layout/_pg_unpack): the packed
+# per-branch order [w_u[C], w_v[C], b[C]] is identical.
+# ---------------------------------------------------------------------------
+
+from percnn_tpu.ops.pallas.backward2d import _pg_layout, _pg_unpack  # noqa: E402
+from percnn_tpu.ops.pallas.cell2d import _COMPILER_PARAMS  # noqa: E402
+
+
+def _pg_step3d_flat(p, ui, vi, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
+                    cfg: PiCellConfig, D: int, H: int, W: int):
+    """One reverse step on flat [D, H*W] planes with gradient accumulation."""
+    C = cfg.hidden
+    nb = cfg.n_branches
+    stride = 3 * C
+    block = nb * stride + C + 1
+    lay = _pg_layout(cfg)
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    gu_in = sgu_ref[:, :] + fb_u
+    gv_in = sgv_ref[:, :] + fb_v
+
+    acc(lay["diff"] + 0, gu_in * _lap3d_flat(ui, D, H, W, inv_dx2))
+    acc(lay["diff"] + 1, gv_in * _lap3d_flat(vi, D, H, W, inv_dx2))
+    acc(lay["bout"] + 0, gu_in)
+    acc(lay["bout"] + 1, gv_in)
+
+    lap_gu = _lap3d_flat(gu_in, D, H, W, inv_dx2)
+    lap_gv = _lap3d_flat(gv_in, D, H, W, inv_dx2)
+
+    du_acc = None
+    dv_acc = None
+    for o, g in ((0, gu_in), (1, gv_in)):
+        base = 2 + o * block
+        for c in range(C):
+            ys = []
+            for i in range(nb):
+                off = base + i * stride
+                ys.append(p[off + c] * ui + p[off + C + c] * vi
+                          + p[off + 2 * C + c])
+            wo = p[base + nb * stride + c]
+            prod_all = ys[0]
+            for y in ys[1:]:
+                prod_all = prod_all * y
+            acc(lay["wout"] + o * C + c, g * prod_all)
+            for i in range(nb):
+                pexc = None
+                for j in range(nb):
+                    if j != i:
+                        pexc = ys[j] if pexc is None else pexc * ys[j]
+                zz = g if pexc is None else g * pexc   # z / w_out
+                a = lay["dw"] + ((o * nb + i) * C + c) * 2
+                acc(a + 0, zz * ui)
+                acc(a + 1, zz * vi)
+                acc(lay["db"] + (o * nb + i) * C + c, zz)
+                off = base + i * stride
+                du = (p[off + c] * wo) * zz
+                dv = (p[off + C + c] * wo) * zz
+                du_acc = du if du_acc is None else du_acc + du
+                dv_acc = dv if dv_acc is None else dv_acc + dv
+
+    sgu_ref[:, :] = gu_in + cfg.dt * (p[0] * lap_gu + du_acc)
+    sgv_ref[:, :] = gv_in + cfg.dt * (p[1] * lap_gv + dv_acc)
+
+
+def _phase1_pg_kernel3d(p_ref, frames_ref, fbar_ref, g0_ref, acc_out_ref,
+                        sgu_ref, sgv_ref, acc_ref, *, cfg: PiCellConfig,
+                        D: int, H: int, W: int, n_steps: int):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
+
+    def acc(a, plane):
+        acc_ref[a] += plane
+
+    _pg_step3d_flat(p_ref, frames_ref[0, 0, :, :], frames_ref[0, 1, :, :],
+                    fbar_ref[0, 0, :, :], fbar_ref[0, 1, :, :],
+                    sgu_ref, sgv_ref, acc, cfg=cfg, D=D, H=H, W=W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+        acc_out_ref[:, :, :] = acc_ref[:, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "D", "H", "W", "interpret"))
+def _fused_phase1_pg_3d(packed, frames_flat, fbar_flat, *, cfg, n_steps,
+                        D, H, W, interpret):
+    hw = H * W
+    A = _pg_layout(cfg)["A"]
+    kernel = functools.partial(_phase1_pg_kernel3d, cfg=cfg, D=D, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, D, hw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, D, hw), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, D, hw), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, D, hw), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, D, hw), jnp.float32),
+            jax.ShapeDtypeStruct((A, D, hw), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, hw), jnp.float32),
+            pltpu.VMEM((D, hw), jnp.float32),
+            pltpu.VMEM((A, D, hw), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, frames_flat, fbar_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_rollout_tp_3d_pg(params, h0, cfg: PiCellConfig, n_steps: int):
+    """Fully-fused differentiable 3D rollout (pointwise Pi): forward,
+    reverse sweep AND parameter gradients in two pallas_calls."""
+    return _forward3d(params, h0, cfg, n_steps)[0]
+
+
+def _fused_tp3d_pg_fwd(params, h0, cfg, n_steps):
+    frames, (packed, state0, frames_flat) = _forward3d(params, h0, cfg, n_steps)
+    return frames, (params, packed, state0, frames_flat)
+
+
+def _fused_tp3d_pg_bwd(cfg, n_steps, residuals, frames_bar):
+    params, packed, state0, frames_flat = residuals
+    D, H, W = frames_bar.shape[1], frames_bar.shape[2], frames_bar.shape[3]
+    interpret = jax.default_backend() != "tpu"
+
+    fbar_flat = jnp.moveaxis(frames_bar[1:].astype(jnp.float32), -1, 1) \
+        .reshape(n_steps, 2, D, H * W)
+    h_prev_flat = jnp.concatenate([state0[None], frames_flat[:-1]], axis=0)
+
+    g0, acc = _fused_phase1_pg_3d(
+        packed, h_prev_flat, fbar_flat, cfg=cfg, n_steps=n_steps,
+        D=D, H=H, W=W, interpret=interpret,
+    )
+    h0_bar = (jnp.moveaxis(g0.reshape(2, D, H, W), 0, -1) + frames_bar[0])
+    params_bar = _pg_unpack(acc.sum(axis=(1, 2)), params, cfg)
+    return params_bar, h0_bar.astype(frames_bar.dtype)
+
+
+fused_rollout_tp_3d_pg.defvjp(_fused_tp3d_pg_fwd, _fused_tp3d_pg_bwd)

@@ -314,3 +314,33 @@ def test_batched_fully_fused_pg_gradients_match():
                                                 rtol=2e-4, atol=2e-6),
         g1, g2,
     )
+
+
+def test_fully_fused_pg_3d_gradients_match():
+    """3D in-kernel parameter gradients == autodiff (flat-layout cell)."""
+    from percnn_tpu.ops.pallas.backward3d import fused_rollout_tp_3d_pg
+
+    cfg = PiCellConfig(ndim=3, hidden=2, kernel_size=1, dt=0.05, dx=2.08,
+                       diffusion="sigmoid", mu_up=0.3, init_scale=0.3)
+    params = init_pi_cell(jax.random.PRNGKey(11), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(12), (8, 8, 16, 2),
+                                 jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(13), (5, 8, 8, 16, 2),
+                            jnp.float32)
+
+    def loss_pg(p, h):
+        return jnp.mean((fused_rollout_tp_3d_pg(p, h, cfg, 4) - tgt) ** 2)
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 4, remat=False)
+        return jnp.mean((fr - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_pg(params, h0)),
+                               float(loss_ref(params, h0)), rtol=1e-5)
+    g1 = jax.grad(loss_pg, argnums=(0, 1))(params, h0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, h0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        g1, g2,
+    )

@@ -44,6 +44,29 @@ def timed(fn, *args, reps_outer=3):
     return best
 
 
+def timed_grad_injit(loss, params, h0, reps=8, rtt=0.0):
+    """Robust grad timing: `reps` grad evaluations chained INSIDE one jit
+    (a scalar of each grad feeds the next input so nothing folds away),
+    fetched with np.asarray — block_until_ready alone under-measures on
+    the tunneled backend."""
+    import numpy as _np
+
+    @jax.jit
+    def many(p, h):
+        def body(i, s):
+            g = jax.grad(loss)(p, h + s * 0)
+            return s + jax.tree_util.tree_leaves(g)[0].reshape(-1)[0]
+        return lax.fori_loop(0, reps, body, jnp.zeros(()))
+
+    _np.asarray(many(params, h0))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.asarray(many(params, h0))
+        best = min(best, time.perf_counter() - t0)
+    return (best - rtt) / reps
+
+
 def main():
     from percnn_tpu.core.cell import PiCellConfig, init_pi_cell, pi_cell_step
     from percnn_tpu.core.rollout import rollout_tp
@@ -95,7 +118,6 @@ def main():
                       "us_per_step": dt_scan / (reps * T) * 1e6}))
 
     # ---- training grad: fused fwd+bwd vs two-phase ----
-    reps_g = max(1, reps // 4)
 
     def loss_fused(params, h0):
         frames = fused_rollout_tp_2d(params, h0, cfg, T)
@@ -107,9 +129,9 @@ def main():
         return jnp.mean(frames[-1] ** 2)
 
     for name, loss in (("fused", loss_fused), ("two_phase", loss_tp)):
-        g = jax.jit(lambda p, h, f=loss: jax.grad(f)(p, h))
         try:
-            dt = timed(g, params, h0) - lat / reps_g
+            dt = timed_grad_injit(loss, params, h0, reps=4 if on_tpu else 1,
+                                  rtt=lat)
             print(json.dumps({"metric": f"burgers_k5_train_grad_{name}",
                               "value": dt * 1e3, "unit": "ms/iter(T=200)"}))
         except Exception as e:  # pragma: no cover
@@ -132,9 +154,9 @@ def main():
         return jnp.mean(fused_rollout_tp_2d_pg(p, h, cfg1_t, T1)[-1] ** 2)
 
     for name, loss in (("fused_hybrid", loss_f1), ("fused_pg", loss_pg1)):
-        g = jax.jit(lambda p, h, f=loss: jax.grad(f)(p, h))
         try:
-            dt = timed(g, params1, h01) - lat
+            dt = timed_grad_injit(loss, params1, h01, reps=8 if on_tpu else 1,
+                                  rtt=lat)
             print(json.dumps({"metric": f"gs2d_T800_grad_{name}",
                               "value": dt * 1e3, "unit": "ms/iter"}))
         except Exception as e:  # pragma: no cover
@@ -176,9 +198,9 @@ def main():
 
     for name, loss in (("batched_fused", loss_b), ("vmap_two_phase", loss_v),
                        ("batched_pg", loss_bpg), ("member_loop_pg", loss_loop_pg)):
-        g = jax.jit(lambda p, h, f=loss: jax.grad(f)(p, h))
         try:
-            dt = timed(g, params_m, h0_m) - lat
+            dt = timed_grad_injit(loss, params_m, h0_m,
+                                  reps=4 if on_tpu else 1, rtt=lat)
             print(json.dumps({"metric": f"gs2d_ens4_T800_grad_{name}",
                               "value": dt * 1e3, "unit": "ms/iter"}))
         except Exception as e:  # pragma: no cover

@@ -128,7 +128,10 @@ def run_ensemble(
                    and exp.cell.kernel_size in (1, 3, 5)
                    and dtype == jnp.float32
                    and jax.default_backend() == "tpu")
+        from percnn_tpu.ops.pallas.backward2d import pg_fits_vmem
+
         bptt = ("fused_pg" if fusable and exp.cell.kernel_size == 1
+                and pg_fits_vmem(exp.cell, (exp.grid,) * exp.cell.ndim + (2,))
                 else "fused" if fusable else "two_phase")
 
     if bptt not in ("fused", "fused_pg", "batched", "batched_pg", "two_phase"):

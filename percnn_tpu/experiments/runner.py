@@ -109,13 +109,15 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
     """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2].
 
     bptt:
-      'auto'      — 'fused' where the Pallas kernels apply (2D, k=1, f32,
-                    on TPU), else 'two_phase';
-      'fused'     — Pallas forward + Pallas reverse-sweep backward
-                    (ops/pallas/backward2d.py);
-      'fused_pg'  — like 'fused' but parameter gradients also accumulate
-                    inside the backward kernel (k=1 2D cells only — no XLA
-                    phase-2);
+      'auto'      — where the Pallas kernels apply (f32 on TPU; 2D any
+                    odd k<=5, 3D k=1 tile-aligned): 'fused_pg' for k=1
+                    cells whose gradient accumulators fit VMEM, else
+                    'fused'; otherwise 'two_phase';
+      'fused'     — Pallas forward + Pallas reverse-sweep backward,
+                    XLA phase-2 parameter gradients (backward2d/3d.py);
+      'fused_pg'  — fully fused: parameter gradients also accumulate
+                    inside the backward kernel (k=1 cells, 2D + aligned
+                    3D — no XLA phase-2);
       'two_phase' — jnp forward + custom-VJP backward (core/rollout.py);
       'remat'     — segmented jax.checkpoint through the scan.
     """
@@ -140,8 +142,12 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
         # truth where TPU autodiff's bf16-multiply matmul path measures
         # 3e-3 (examples/debug_pg.py), and removing the XLA phase-2 is
         # also faster — 5.2x for the GS3D workload (10.6 vs 54.9 ms/iter,
-        # T=300 48^3).
+        # T=300 48^3).  Large grids whose accumulator planes exceed the
+        # kernel VMEM budget keep the hybrid path.
+        from percnn_tpu.ops.pallas.backward2d import pg_fits_vmem
+
         bptt = ("fused_pg" if fused_ok and cell.kernel_size == 1
+                and pg_fits_vmem(cell, h0.shape)
                 else "fused" if fused_ok else "two_phase")
     if bptt == "fused_pg":
         if cell.ndim == 2:

@@ -314,37 +314,43 @@ def _pg_layout(cfg: PiCellConfig):
             "diff": dw + db + wout + 2, "A": n}
 
 
-def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
-             cfg: PiCellConfig, H: int, W: int):
-    """One reverse step with gradient accumulation, shared by the single and
-    member-batched kernels.
+def pg_accum_vmem_bytes(cfg: PiCellConfig, spatial: tuple) -> int:
+    """VMEM footprint of the pg gradient accumulators (scratch + the
+    flushed output block), for capacity checks before auto-selecting the
+    pg path.  `spatial` is the accumulator plane shape ([H, W] for 2D,
+    [D, H*W] for the flat 3D layout); sublane/lane padding included."""
+    A = _pg_layout(cfg)["A"]
+    rows = -(-spatial[0] // 8) * 8
+    lanes = -(-spatial[1] // 128) * 128
+    return 2 * A * rows * lanes * 4
 
-    p: flat-indexable params; up/vp: padded state planes h_t; fb_u/fb_v:
-    interior cotangent planes for frame t+1; acc: a -> accumulator-plane ref.
-    """
+
+def pg_fits_vmem(cfg: PiCellConfig, shape: tuple) -> bool:
+    """True when the fully-fused pg backward's accumulators fit comfortably
+    under the kernels' VMEM budget for a state of `shape` [*spatial, C].
+    Reference shapes: GS2D 100^2 C=8 -> 13 MB, GS3D 48^3 C=2 -> 39 MB;
+    a 512^2 C=8 grid (344 MB) falls back to the hybrid path."""
+    if cfg.ndim == 2:
+        spatial = (shape[0], shape[1])
+    else:
+        spatial = (shape[0], shape[1] * shape[2])
+    budget = _COMPILER_PARAMS.vmem_limit_bytes - 24 * 1024 * 1024
+    return pg_accum_vmem_bytes(cfg, spatial) <= budget
+
+
+def _pg_accumulate_pi(p, ui, vi, gu_in, gv_in, acc, *, cfg: PiCellConfig):
+    """Shared o/c/i accumulation loop of the fully-fused backward:
+    branch activations, per-branch gradient planes (dw/db/w_out) and the
+    Pi Jacobian-transpose contributions.  ui/vi/gu_in/gv_in are plane
+    VALUES (interior for 2D, flat for 3D); returns (du_acc, dv_acc).
+
+    Layout note: the packed per-branch order is [w_u[C], w_v[C], b[C]]
+    for both the 2D and 3D packers, so offsets are shared."""
     C = cfg.hidden
     nb = cfg.n_branches
-    wsize = 2 * C
-    stride = wsize + C
+    stride = 3 * C
     block = _param_block(cfg)
     lay = _pg_layout(cfg)
-    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
-
-    gu_in = _interior(sgu_ref[:, :], 0, 0, H, W) + fb_u
-    gv_in = _interior(sgv_ref[:, :], 0, 0, H, W) + fb_v
-    _refresh_halos(sgu_ref, gu_in, H, W)
-    _refresh_halos(sgv_ref, gv_in, H, W)
-
-    lap_gu = _lap(sgu_ref[:, :], H, W, inv_dx2)
-    lap_gv = _lap(sgv_ref[:, :], H, W, inv_dx2)
-    ui = _interior(up, 0, 0, H, W)
-    vi = _interior(vp, 0, 0, H, W)
-
-    # diffusion + output-bias gradient planes (Laplacian of the STATE)
-    acc(lay["diff"] + 0, gu_in * _lap(up, H, W, inv_dx2))
-    acc(lay["diff"] + 1, gv_in * _lap(vp, H, W, inv_dx2))
-    acc(lay["bout"] + 0, gu_in)
-    acc(lay["bout"] + 1, gv_in)
 
     du_acc = None
     dv_acc = None
@@ -355,7 +361,7 @@ def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
             for i in range(nb):
                 off = base + i * stride
                 ys.append(p[off + c] * ui + p[off + C + c] * vi
-                          + p[off + wsize + c])
+                          + p[off + 2 * C + c])
             wo = p[base + nb * stride + c]
             prod_all = ys[0]
             for y in ys[1:]:
@@ -376,6 +382,37 @@ def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
                 dv = (p[off + C + c] * wo) * zz
                 du_acc = du if du_acc is None else du_acc + du
                 dv_acc = dv if dv_acc is None else dv_acc + dv
+    return du_acc, dv_acc
+
+
+def _pg_step(p, up, vp, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
+             cfg: PiCellConfig, H: int, W: int):
+    """One reverse step with gradient accumulation, shared by the single and
+    member-batched kernels.
+
+    p: flat-indexable params; up/vp: padded state planes h_t; fb_u/fb_v:
+    interior cotangent planes for frame t+1; acc: a -> accumulator-plane ref.
+    """
+    lay = _pg_layout(cfg)
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    gu_in = _interior(sgu_ref[:, :], 0, 0, H, W) + fb_u
+    gv_in = _interior(sgv_ref[:, :], 0, 0, H, W) + fb_v
+    _refresh_halos(sgu_ref, gu_in, H, W)
+    _refresh_halos(sgv_ref, gv_in, H, W)
+
+    lap_gu = _lap(sgu_ref[:, :], H, W, inv_dx2)
+    lap_gv = _lap(sgv_ref[:, :], H, W, inv_dx2)
+    ui = _interior(up, 0, 0, H, W)
+    vi = _interior(vp, 0, 0, H, W)
+
+    # diffusion + output-bias gradient planes (Laplacian of the STATE)
+    acc(lay["diff"] + 0, gu_in * _lap(up, H, W, inv_dx2))
+    acc(lay["diff"] + 1, gv_in * _lap(vp, H, W, inv_dx2))
+    acc(lay["bout"] + 0, gu_in)
+    acc(lay["bout"] + 1, gv_in)
+
+    du_acc, dv_acc = _pg_accumulate_pi(p, ui, vi, gu_in, gv_in, acc, cfg=cfg)
 
     gu_prev = gu_in + cfg.dt * (p[0] * lap_gu + du_acc)
     gv_prev = gv_in + cfg.dt * (p[1] * lap_gv + dv_acc)

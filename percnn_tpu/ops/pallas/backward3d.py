@@ -190,17 +190,17 @@ fused_rollout_tp_3d.defvjp(_fused_tp3d_fwd, _fused_tp3d_bwd)
 # per-branch order [w_u[C], w_v[C], b[C]] is identical.
 # ---------------------------------------------------------------------------
 
-from percnn_tpu.ops.pallas.backward2d import _pg_layout, _pg_unpack  # noqa: E402
+from percnn_tpu.ops.pallas.backward2d import (  # noqa: E402
+    _pg_accumulate_pi,
+    _pg_layout,
+    _pg_unpack,
+)
 from percnn_tpu.ops.pallas.cell2d import _COMPILER_PARAMS  # noqa: E402
 
 
 def _pg_step3d_flat(p, ui, vi, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
                     cfg: PiCellConfig, D: int, H: int, W: int):
     """One reverse step on flat [D, H*W] planes with gradient accumulation."""
-    C = cfg.hidden
-    nb = cfg.n_branches
-    stride = 3 * C
-    block = nb * stride + C + 1
     lay = _pg_layout(cfg)
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
 
@@ -215,36 +215,7 @@ def _pg_step3d_flat(p, ui, vi, fb_u, fb_v, sgu_ref, sgv_ref, acc, *,
     lap_gu = _lap3d_flat(gu_in, D, H, W, inv_dx2)
     lap_gv = _lap3d_flat(gv_in, D, H, W, inv_dx2)
 
-    du_acc = None
-    dv_acc = None
-    for o, g in ((0, gu_in), (1, gv_in)):
-        base = 2 + o * block
-        for c in range(C):
-            ys = []
-            for i in range(nb):
-                off = base + i * stride
-                ys.append(p[off + c] * ui + p[off + C + c] * vi
-                          + p[off + 2 * C + c])
-            wo = p[base + nb * stride + c]
-            prod_all = ys[0]
-            for y in ys[1:]:
-                prod_all = prod_all * y
-            acc(lay["wout"] + o * C + c, g * prod_all)
-            for i in range(nb):
-                pexc = None
-                for j in range(nb):
-                    if j != i:
-                        pexc = ys[j] if pexc is None else pexc * ys[j]
-                zz = g if pexc is None else g * pexc   # z / w_out
-                a = lay["dw"] + ((o * nb + i) * C + c) * 2
-                acc(a + 0, zz * ui)
-                acc(a + 1, zz * vi)
-                acc(lay["db"] + (o * nb + i) * C + c, zz)
-                off = base + i * stride
-                du = (p[off + c] * wo) * zz
-                dv = (p[off + C + c] * wo) * zz
-                du_acc = du if du_acc is None else du_acc + du
-                dv_acc = dv if dv_acc is None else dv_acc + dv
+    du_acc, dv_acc = _pg_accumulate_pi(p, ui, vi, gu_in, gv_in, acc, cfg=cfg)
 
     sgu_ref[:, :] = gu_in + cfg.dt * (p[0] * lap_gu + du_acc)
     sgv_ref[:, :] = gv_in + cfg.dt * (p[1] * lap_gv + dv_acc)

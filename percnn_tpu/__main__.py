@@ -45,6 +45,15 @@ def main(argv=None):
     pp.add_argument("--stage1-recon", default=None,
                     help="reuse a saved Stage-1 reconstruction .npz "
                          "(skips Stage-1 training)")
+    pp.add_argument("--noise", type=float, default=None,
+                    help="override the measurement noise %% (e.g. 0.2 for "
+                         "the reference's 0-30%% robustness matrix)")
+    pp.add_argument("--stage2-frames", default=None,
+                    help="Stage-2 regression window as START:STOP frames "
+                         "(reference uses 50:150, PDE_FIND_u.py:220-222)")
+    pp.add_argument("--stage2-subsample", type=float, default=0.2,
+                    help="Stage-2 design-matrix row subsample fraction "
+                         "(reference: 0.2, PDE_FIND_u.py:246-247)")
 
     pe = sub.add_parser("ensemble", help="train K members (DP) in one jit")
     pe.add_argument("experiment")
@@ -227,11 +236,22 @@ def main(argv=None):
         return 0
 
     if args.cmd == "pipeline":
+        import dataclasses
+
         from percnn_tpu.experiments.pipeline import run_discovery_pipeline
 
+        if args.noise is not None:
+            exp = dataclasses.replace(
+                exp, name=f"{exp.name}_n{int(round(args.noise * 100))}",
+                noise_pct=args.noise)
+        frames = None
+        if args.stage2_frames:
+            a, b = args.stage2_frames.split(":")
+            frames = slice(int(a), int(b))
         res = run_discovery_pipeline(
             exp, out_dir=args.out, cache_dir=args.cache,
             stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
+            stage2_frames=frames, stage2_subsample=args.stage2_subsample,
             steps_per_call=args.steps_per_call,
             stage1_recon=args.stage1_recon,
             seed=args.seed,

@@ -48,8 +48,20 @@ _STORAGE_DTYPES = {
     "CharStorage": np.dtype("<i1"),
     "ByteStorage": np.dtype("<u1"),
     "BoolStorage": np.dtype("?"),
-    "BFloat16Storage": np.dtype("<u2"),  # no numpy bf16; raw bits
+    "BFloat16Storage": np.dtype("<u2"),  # raw bits on disk; decoded to f32
 }
+
+
+def _decode_storage(raw: np.ndarray, storage_type: "_StorageType") -> np.ndarray:
+    """Post-process raw storage bytes; bf16 bits -> float32 values.
+
+    numpy has no bfloat16, so BFloat16Storage reads as uint16 bit patterns;
+    widening to the high half of a uint32 reconstructs the exact float32
+    each bf16 value denotes (bf16 is f32 truncated to 16 mantissa-less bits).
+    """
+    if storage_type.name == "BFloat16Storage":
+        return (raw.astype(np.uint32) << 16).view(np.float32)
+    return raw
 
 
 class _StorageType:
@@ -180,23 +192,25 @@ def _load_legacy(data: bytes) -> Any:
         ref = refs[str(key)]
         (numel,) = struct.unpack("<q", f.read(8))
         nbytes = numel * ref.storage_type.dtype.itemsize
-        ref.data = np.frombuffer(f.read(nbytes), dtype=ref.storage_type.dtype)
+        raw = np.frombuffer(f.read(nbytes), dtype=ref.storage_type.dtype)
+        ref.data = _decode_storage(raw, ref.storage_type)
     return _resolve(obj)
 
 
 def _load_zip(path: str) -> Any:
-    zf = zipfile.ZipFile(path)
-    names = zf.namelist()
-    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
-    prefix = pkl_name[: -len("data.pkl")]
-    refs: dict[str, _StorageRef] = {}
-    up = _RestrictedUnpickler(
-        io.BytesIO(zf.read(pkl_name)), lambda pid: _storage_from_pid(pid, refs)
-    )
-    obj = up.load()
-    for key, ref in refs.items():
-        raw = zf.read(f"{prefix}data/{key}")
-        ref.data = np.frombuffer(raw, dtype=ref.storage_type.dtype)
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+        prefix = pkl_name[: -len("data.pkl")]
+        refs: dict[str, _StorageRef] = {}
+        up = _RestrictedUnpickler(
+            io.BytesIO(zf.read(pkl_name)), lambda pid: _storage_from_pid(pid, refs)
+        )
+        obj = up.load()
+        for key, ref in refs.items():
+            raw = np.frombuffer(zf.read(f"{prefix}data/{key}"),
+                                dtype=ref.storage_type.dtype)
+            ref.data = _decode_storage(raw, ref.storage_type)
     return _resolve(obj)
 
 
@@ -208,10 +222,10 @@ def load_pt(path: str) -> Any:
     unknown pickled objects become ``None``.
     """
     with open(path, "rb") as fh:
-        head = fh.read(4)
-    if head[:2] == b"PK":
+        data = fh.read()
+    if data[:2] == b"PK":
         return _load_zip(path)
-    return _load_legacy(open(path, "rb").read())
+    return _load_legacy(data)
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,7 @@ def run_discovery_pipeline(
     stage1_iters: int | None = None,
     stage2_frames: slice | None = None,
     stage2_kwargs: dict | None = None,
+    stage2_subsample: float = 0.2,
     stage3_iters: int | None = None,
     truth_terms: dict | None = None,
     dtype=None,
@@ -108,6 +109,12 @@ def run_discovery_pipeline(
         from percnn_tpu.data.io import load_npz
 
         recon = load_npz(stage1_recon)
+        want = (exp.grid,) * exp.cell.ndim + (2,)
+        if recon.ndim != len(want) + 1 or tuple(recon.shape[1:]) != want:
+            raise ValueError(
+                f"stage1_recon {stage1_recon!r} has shape {recon.shape}, "
+                f"expected [T, {', '.join(map(str, want))}] for experiment "
+                f"{exp.name!r} (grid {exp.grid}^{exp.cell.ndim})")
         s1 = {"rel_l2": None, "frames": recon, "reused": stage1_recon}
     else:
         s1 = run_experiment(exp, out_dir=out_dir, cache_dir=cache_dir,
@@ -132,8 +139,11 @@ def run_discovery_pipeline(
     frames = stage2_frames
     if frames.stop > recon.shape[0]:
         frames = slice(0, recon.shape[0])
+    # subsample=0.2 matches the reference's 20% row subsample
+    # (PDE_FIND_u.py:246-247); 1.0 regresses the full matrix (cheap with
+    # the Gram-matrix solver, sharper at 0% noise).
     R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx, frames=frames,
-                                           subsample=0.2, seed=seed)
+                                           subsample=stage2_subsample, seed=seed)
     if exp.system == "lambda_omega":
         # Reference LO Stage-2 protocol: NO must_have protection
         # (LO stage-2 PDE_FIND_u.py:49) and the l0 weight gamma selected by

@@ -286,6 +286,11 @@ def _fused_phase1_pg_3d(packed, frames_flat, fbar_flat, *, cfg, n_steps,
 def fused_rollout_tp_3d_pg(params, h0, cfg: PiCellConfig, n_steps: int):
     """Fully-fused differentiable 3D rollout (pointwise Pi): forward,
     reverse sweep AND parameter gradients in two pallas_calls."""
+    if cfg.ndim != 3 or cfg.kernel_size != 1 or cfg.n_branches != 3:
+        raise NotImplementedError(
+            "fused_rollout_tp_3d_pg requires ndim=3, kernel_size=1, "
+            f"n_branches=3 (got ndim={cfg.ndim}, "
+            f"kernel_size={cfg.kernel_size}, n_branches={cfg.n_branches})")
     return _forward3d(params, h0, cfg, n_steps)[0]
 
 

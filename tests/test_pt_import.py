@@ -169,3 +169,21 @@ def test_golden_wlaplace_matches_stencil():
                 want += w[i, j] * fp[i:i + 16, j:j + 16]
         np.testing.assert_allclose(np.asarray(ours)[..., 0], want,
                                    rtol=1e-4, atol=2e-4)
+
+
+def test_bf16_checkpoint_decodes_to_f32():
+    """BFloat16Storage tensors decode to their exact float32 values instead
+    of leaking raw uint16 bit patterns (a silent-garbage footgun)."""
+    torch = pytest.importorskip("torch")
+    from percnn_tpu.data.pt_import import load_pt
+
+    vals = torch.tensor([1.5, -2.25, 3.0e-3, 0.0], dtype=torch.bfloat16)
+    obj = {"w": vals, "x": torch.tensor([1.0, 2.0])}
+    for legacy in (True, False):
+        path = f"/tmp/pt_import_bf16_{legacy}.pt"
+        torch.save(obj, path, _use_new_zipfile_serialization=not legacy)
+        got = load_pt(path)
+        assert got["w"].dtype == np.float32
+        np.testing.assert_array_equal(
+            got["w"], vals.to(torch.float32).numpy())
+        np.testing.assert_array_equal(got["x"], [1.0, 2.0])

@@ -133,6 +133,53 @@ def _pi_jacobian_T(up, vp, gu, gv, p, cfg: PiCellConfig, H: int, W: int,
     return jax.lax.fori_loop(0, 2 * C, oc_body, (zero, zero))
 
 
+def _pi_jacobian_T_ys(ys_ref, gu, gv, p, cfg: PiCellConfig, H: int, W: int,
+                      sz_ref):
+    """(J_Pi)^T from PRECOMPUTED branch activations (k>1 fast path).
+
+    Identical math to `_pi_jacobian_T`, but the per-(eq, branch, channel)
+    activations y come from `ys_ref` — a [G, H, W] block (G = 2*nb*C,
+    plane index (o*nb + i)*C + c) computed OUTSIDE the sequential sweep by
+    time-batched XLA convs (see `_precompute_ys`).  This halves the VPU
+    work of the reverse step: only the adjoint correlation (which is
+    irreducibly sequential) remains in-kernel."""
+    k = cfg.kernel_size
+    r = k // 2
+    C = cfg.hidden
+    nb = cfg.n_branches
+    wsize = k * k * 2 * C
+    stride = wsize + C
+    block = _param_block(cfg)
+
+    def oc_body(idx, accs):
+        du_acc, dv_acc = accs
+        o = idx // C
+        c = idx % C
+        base = 2 + o * block
+        g = jnp.where(o == 0, gu, gv)
+        ys = [ys_ref[0, (o * nb + i) * C + c, :, :] for i in range(nb)]
+        wo = p[base + nb * stride + c]
+        for i in range(nb):
+            pexc = None
+            for j in range(nb):
+                if j != i:
+                    pexc = ys[j] if pexc is None else pexc * ys[j]
+            z = wo * g if pexc is None else wo * g * pexc
+            _refresh_halos(sz_ref, z, H, W)
+            zp = sz_ref[:, :]
+            off = base + i * stride
+            for ki in range(k):
+                for kj in range(k):
+                    tap = (ki * k + kj) * 2 * C
+                    sz = _interior(zp, r - ki, r - kj, H, W)
+                    du_acc = du_acc + p[off + tap + c] * sz
+                    dv_acc = dv_acc + p[off + tap + C + c] * sz
+        return du_acc, dv_acc
+
+    zero = jnp.zeros((H, W), jnp.float32)
+    return jax.lax.fori_loop(0, 2 * C, oc_body, (zero, zero))
+
+
 def _phase1_kernel(p_ref, frames_ref, fbar_ref, gins_ref, g0_ref,
                    sgu_ref, sgv_ref, sz_ref, *, cfg: PiCellConfig, H: int,
                    W: int, n_steps: int):
@@ -209,6 +256,173 @@ def _fused_phase1(packed, frames_pad, fbar_pad, *, cfg, n_steps, H, W, interpret
     return gins, g0
 
 
+def _phase1_ys_kernel(p_ref, frames_ref, fbar_ref, ys_ref, gins_ref, g0_ref,
+                      sgu_ref, sgv_ref, sz_ref, *, cfg: PiCellConfig, H: int,
+                      W: int, n_steps: int):
+    """Reverse sweep with hoisted branch activations (k>1)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    gu_in_i = _interior(sgu_ref[:, :], 0, 0, H, W) + fbar_ref[0, 0, HALO:HALO + H, HALO:HALO + W]
+    gv_in_i = _interior(sgv_ref[:, :], 0, 0, H, W) + fbar_ref[0, 1, HALO:HALO + H, HALO:HALO + W]
+    _refresh_halos(sgu_ref, gu_in_i, H, W)
+    _refresh_halos(sgv_ref, gv_in_i, H, W)
+    gins_ref[0, 0, :, :] = sgu_ref[:, :]
+    gins_ref[0, 1, :, :] = sgv_ref[:, :]
+
+    lap_gu = _lap(sgu_ref[:, :], H, W, inv_dx2)
+    lap_gv = _lap(sgv_ref[:, :], H, W, inv_dx2)
+    jtu, jtv = _pi_jacobian_T_ys(ys_ref, gu_in_i, gv_in_i, p_ref, cfg, H, W,
+                                 sz_ref)
+    gu_prev = gu_in_i + cfg.dt * (p_ref[0] * lap_gu + jtu)
+    gv_prev = gv_in_i + cfg.dt * (p_ref[1] * lap_gv + jtv)
+    _refresh_halos(sgu_ref, gu_prev, H, W)
+    _refresh_halos(sgv_ref, gv_prev, H, W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_phase1_ys(packed, frames_pad, fbar_pad, ys_flat, *, cfg, n_steps,
+                     H, W, interpret):
+    """Like `_fused_phase1` but branch activations stream in precomputed
+    (`ys_flat`: [T, G, H, W], G = 2*nb*C)."""
+    hp, wp = frames_pad.shape[2], frames_pad.shape[3]
+    G = ys_flat.shape[1]
+    kernel = functools.partial(_phase1_ys_kernel, cfg=cfg, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    gins, g0 = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, H, W), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, wp), lambda k: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, 2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, frames_pad, fbar_pad, ys_flat)
+    return gins, g0
+
+
+def _precompute_ys(params, h_prev, cfg: PiCellConfig):
+    """Branch activations y_{o,i} = conv(w_i^o)(h_t) + b_i^o for ALL steps,
+    as time-batched XLA convs (MXU) — the hoisted half of the reverse sweep.
+
+    h_prev: [T, H, W, 2] (step inputs).  Returns
+      ys:      list-of-lists [o][i] of [T, H, W, C] (for phase-2), and
+      ys_flat: [T, G, H, W] f32 with plane index (o*nb + i)*C + c (kernel).
+    """
+    from percnn_tpu.ops.convs import conv_nd_periodic
+
+    nb = cfg.n_branches
+    ys = []
+    with jax.default_matmul_precision("highest"):
+        for o in range(cfg.channels):
+            br = params["pi"][o]
+            ys.append([
+                conv_nd_periodic(h_prev.astype(jnp.float32),
+                                 jnp.asarray(br[f"w{i}"], jnp.float32)
+                                 .reshape((cfg.kernel_size,) * 2 + (2, cfg.hidden)),
+                                 jnp.asarray(br[f"b{i}"], jnp.float32))
+                for i in range(nb)
+            ])
+    # [T, H, W, C] x (2*nb) -> [T, G, H, W]
+    stacked = jnp.stack([y for row in ys for y in row], axis=1)  # [T, 2nb, H, W, C]
+    ys_flat = jnp.moveaxis(stacked, -1, 2).reshape(
+        stacked.shape[0], -1, stacked.shape[2], stacked.shape[3])
+    return ys, ys_flat
+
+
+def _param_grads_direct(params, h_prev, g_ins, ys, cfg: PiCellConfig):
+    """Parameter gradients straight from the streamed cotangents: no cell
+    re-execution, no per-chunk vjp — each branch-weight gradient is ONE
+    time-batched conv-weight-grad (MXU), everything else is elementwise
+    reductions.  Math (per eq o, branch i, hidden c; all summed over t, xy):
+
+        cot_i      = g_o * w_out[c] * prod_{j != i} y_{j,c}
+        dw_i       = dt * conv_weight_grad(h, cot_i)
+        db_i       = dt * sum cot_i
+        dw_out[c]  = dt * sum g_o * prod_j y_{j,c}
+        db_out     = dt * sum g_o
+        ddiff_o    = dt * sum g_o * Lap(h_o)   (x reparam chain rule)
+    """
+    from percnn_tpu.ops.convs import conv_nd_periodic
+    from percnn_tpu.ops.stencils import laplacian
+
+    nb = cfg.n_branches
+    C = cfg.hidden
+    dt = cfg.dt
+    h32 = h_prev.astype(jnp.float32)
+    g32 = g_ins.astype(jnp.float32)
+
+    lap = laplacian(h32, cfg.dx, axes=(1, 2))          # [T, H, W, 2]
+    draw = dt * jnp.sum(g32 * lap, axis=(0, 1, 2))     # [2]
+    if cfg.diffusion == "raw":
+        ddiff = draw
+    else:
+        s = jax.nn.sigmoid(jnp.asarray(params["diff"], jnp.float32))
+        ddiff = cfg.mu_up * s * (1 - s) * draw
+
+    pi_bar = []
+    with jax.default_matmul_precision("highest"):
+        for o in range(cfg.channels):
+            br = params["pi"][o]
+            wout = jnp.asarray(br["w_out"], jnp.float32).reshape(-1)  # [C]
+            go = g32[..., o]                                          # [T, H, W]
+            y = ys[o]                                                 # nb x [T, H, W, C]
+            prod_all = y[0]
+            for yj in y[1:]:
+                prod_all = prod_all * yj
+            branch = {}
+            branch["w_out"] = (dt * jnp.sum(go[..., None] * prod_all,
+                                            axis=(0, 1, 2)))[:, None]
+            branch["b_out"] = dt * jnp.sum(go)[None]
+            for i in range(nb):
+                pexc = None
+                for j in range(nb):
+                    if j != i:
+                        pexc = y[j] if pexc is None else pexc * y[j]
+                cot = go[..., None] * wout
+                if pexc is not None:
+                    cot = cot * pexc                                  # [T, H, W, C]
+                w_shape = (cfg.kernel_size,) * 2 + (2, C)
+                _, vjp = jax.vjp(
+                    lambda w: conv_nd_periodic(h32, w.reshape(w_shape)),
+                    jnp.zeros(w_shape, jnp.float32))
+                (dw,) = vjp(cot)
+                branch[f"w{i}"] = dt * dw.reshape(jnp.shape(br[f"w{i}"]))
+                branch[f"b{i}"] = dt * jnp.sum(cot, axis=(0, 1, 2))
+            pi_bar.append(branch)
+    bar = {"diff": ddiff, "pi": pi_bar}
+    return jax.tree_util.tree_map(lambda g, p: g.astype(jnp.asarray(p).dtype),
+                                  bar, params)
+
+
 # ---------------------------------------------------------------------------
 # Fully-fused trainable rollout: pallas forward + pallas phase-1 backward +
 # XLA-batched phase-2 parameter gradients.
@@ -251,6 +465,14 @@ def _fused_tp_fwd(params, h0, cfg, n_steps, pgrad_chunk):
     return frames, (params, packed, h0_pad, frames_pad)
 
 
+def _ys_path_ok(cfg: PiCellConfig, n_steps: int, H: int, W: int) -> bool:
+    """The hoisted-ys backward needs the [T, 2*nb*C, H, W] activation
+    stream resident in HBM; cap it at 8 GB (reference k=5 workloads are
+    ~0.8 GB at T=200)."""
+    return (2 * cfg.n_branches * cfg.hidden * n_steps * H * W * 4
+            <= 8 * 1024 ** 3)
+
+
 def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
     params, packed, h0_pad, frames_pad = residuals
     H, W = frames_bar.shape[1], frames_bar.shape[2]
@@ -264,20 +486,33 @@ def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
         jnp.moveaxis(frames_bar[1:].astype(jnp.float32), -1, 1)
     )
 
-    gins_pad, g0_pad = _fused_phase1(
-        packed, _frames_h_prev(h0_pad, frames_pad), fbar_pad,
-        cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
-    )
+    frames_prev_pad = _frames_h_prev(h0_pad, frames_pad)
+    h_prev = unpad_frames_2d(frames_prev_pad, H, W)
+
+    if cfg.kernel_size > 1 and _ys_path_ok(cfg, n_steps, H, W):
+        # k>1 fast path: branch activations hoisted out of the sequential
+        # sweep (time-batched MXU convs), parameter gradients computed
+        # directly from the streamed cotangents — no cell re-execution.
+        ys, ys_flat = _precompute_ys(params, h_prev, cfg)
+        gins_pad, g0_pad = _fused_phase1_ys(
+            packed, frames_prev_pad, fbar_pad, ys_flat,
+            cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+        )
+        g_ins = unpad_frames_2d(gins_pad, H, W)
+        params_bar = _param_grads_direct(params, h_prev, g_ins, ys, cfg)
+    else:
+        gins_pad, g0_pad = _fused_phase1(
+            packed, frames_prev_pad, fbar_pad,
+            cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+        )
+        # phase 2: batched parameter gradients (XLA)
+        g_ins = unpad_frames_2d(gins_pad, H, W)
+        params_bar = chunked_param_grads(
+            lambda p, h: pi_cell_step(p, h, cfg), params, h_prev, g_ins,
+            n_steps, pgrad_chunk)
+
     h0_bar = (jnp.moveaxis(g0_pad[:, HALO:HALO + H, HALO:HALO + W], 0, -1)
               + frames_bar[0])
-
-    # phase 2: batched parameter gradients (XLA)
-    h_prev = unpad_frames_2d(_frames_h_prev(h0_pad, frames_pad), H, W)
-    g_ins = unpad_frames_2d(gins_pad, H, W)
-
-    params_bar = chunked_param_grads(
-        lambda p, h: pi_cell_step(p, h, cfg), params, h_prev, g_ins,
-        n_steps, pgrad_chunk)
     return params_bar, h0_bar.astype(frames_bar.dtype)
 
 

@@ -66,12 +66,15 @@ def test_fused_rollout_matches_jnp_k3():
     _parity(cfg, 10, 14, 4, atol=1e-5)
 
 
-def test_fused_trainable_rollout_k5_gradients_match():
-    """Fused fwd + adjoint-conv phase-1 backward == autodiff for 5x5 cells."""
+@pytest.mark.parametrize("diffusion", ["sigmoid", "raw"])
+def test_fused_trainable_rollout_k5_gradients_match(diffusion):
+    """Fused fwd + hoisted-ys phase-1 backward + direct conv-vjp parameter
+    gradients == autodiff for 5x5 cells (both diffusion reparams)."""
     from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
 
     cfg = PiCellConfig(ndim=2, hidden=3, kernel_size=5, dt=0.01, dx=0.1,
-                       diffusion="sigmoid", mu_up=0.1, init_scale=0.1)
+                       diffusion=diffusion, mu_up=0.1, init_scale=0.1,
+                       diff_init=0.05 if diffusion == "raw" else None)
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (10, 12, 2), jnp.float32)
     tgt = jax.random.normal(jax.random.PRNGKey(2), (5, 10, 12, 2), jnp.float32)

@@ -138,3 +138,104 @@ def test_sharded_rollout_pallas_impl_matches(kernel_size):
     mesh = make_mesh(("x", "y"), shape=(2, 4))
     got = sharded_rollout_nd(params, h0, cfg, 4, mesh, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gradient flow through the explicit ppermute halo path (SURVEY §2.3: the
+# TPU-native equivalent of the reference's periodic-pad layer lives inside
+# the *training* graph, train_2drd.py:108-109 — so BPTT must cross the halo
+# exchange).  The transpose of ppermute is ppermute with the inverted
+# permutation; these tests pin that the whole reverse sweep (remat scan +
+# halo exchange + VALID stencils) matches single-device autodiff.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kernel_size", [1, 5])
+def test_sharded_rollout_grad_matches_2d(kernel_size):
+    cfg = _cfg(kernel_size)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 32, 2), jnp.float32)
+    tgt = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (6, 16, 32, 2), jnp.float32)
+    mesh = make_mesh(("x", "y"), shape=(2, 4))
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 5)
+        return jnp.mean((fr - tgt) ** 2)
+
+    def loss_halo(p, h):
+        fr = sharded_rollout_nd(p, h, cfg, 5, mesh)
+        return jnp.mean((fr - tgt) ** 2)
+
+    (l1, g1) = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1)))(params, h0)
+    (l2, g2) = jax.jit(jax.value_and_grad(loss_halo, argnums=(0, 1)))(params, h0)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=1e-7),
+        g2, g1,
+    )
+
+
+def test_sharded_rollout_grad_matches_3d():
+    cfg = PiCellConfig(ndim=3, hidden=4, kernel_size=1, dt=0.01, dx=0.1,
+                       diffusion="raw", diff_init=0.05, init_scale=0.1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (8, 12, 16, 2), jnp.float32)
+    tgt = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (4, 8, 12, 16, 2),
+                                  jnp.float32)
+    mesh = make_mesh(("x", "y", "z"), shape=(2, 2, 2))
+
+    def loss_ref(p, h):
+        fr = rollout(lambda x: pi_cell_step(p, x, cfg), h, 3)
+        return jnp.mean((fr - tgt) ** 2)
+
+    def loss_halo(p, h):
+        fr = sharded_rollout_nd(p, h, cfg, 3, mesh)
+        return jnp.mean((fr - tgt) ** 2)
+
+    (l1, g1) = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1)))(params, h0)
+    (l2, g2) = jax.jit(jax.value_and_grad(loss_halo, argnums=(0, 1)))(params, h0)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=1e-7),
+        g2, g1,
+    )
+
+
+def test_halo_train_step_matches_single_device():
+    """One Adam step whose rollout is the explicit shard_map halo path ==
+    the unsharded step (multi-chip *training* over ICI, not just GSPMD)."""
+    cfg = _cfg(1)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (16, 16, 2), jnp.float32)
+    target = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (5, 16, 16, 2),
+                                     jnp.float32)
+    mesh = make_mesh(("x", "y"), shape=(2, 4))
+
+    def loss_single(p, batch):
+        h, tgt = batch
+        frames = rollout(lambda x: pi_cell_step(p, x, cfg), h, 5, remat=False)
+        l = jnp.mean((frames[1:] - tgt) ** 2)
+        return l, {"l": l}
+
+    def loss_halo(p, batch):
+        h, tgt = batch
+        frames = sharded_rollout_nd(p, h, cfg, 5, mesh)
+        l = jnp.mean((frames[1:] - tgt) ** 2)
+        return l, {"l": l}
+
+    tx = optax.scale_by_adam()
+    (l_ref, _), g_ref = jax.value_and_grad(loss_single, has_aux=True)(
+        params, (h0, target))
+    upd, _ = tx.update(g_ref, tx.init(params), params)
+    ref_leaf = params["pi"][0]["w0"] - 1e-3 * upd["pi"][0]["w0"]
+
+    h0_s = shard_array(h0, mesh, P("x", "y", None))
+    tgt_s = shard_array(target, mesh, P(None, "x", "y", None))
+    params_s = replicate(params, mesh)
+    step = make_train_step_spmd(loss_halo, tx, mesh)
+    p2, o2, l2, aux2 = step(params_s, tx.init(params_s), (h0_s, tgt_s), 1e-3)
+    np.testing.assert_allclose(float(l2), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2["pi"][0]["w0"]),
+                               np.asarray(ref_leaf), rtol=1e-4, atol=1e-6)

@@ -94,6 +94,7 @@ def main(argv=None):
                         ".pt checkpoint to a framework .npz checkpoint")
     pi.add_argument("pt_path")
     pi.add_argument("--out", default="imported.ckpt.npz")
+    pi.add_argument("--cpu", action="store_true")
 
     pf = sub.add_parser("profile", help="capture a jax.profiler device "
                         "trace of N training iterations (TensorBoard/"
@@ -146,17 +147,35 @@ def main(argv=None):
 
     if args.cmd == "import-pt":
         from percnn_tpu.core.checkpoint import save_checkpoint
-        from percnn_tpu.data.pt_import import import_reference_checkpoint
+        from percnn_tpu.data.pt_import import (
+            import_reference_checkpoint, map_adam_moments,
+        )
 
-        cell, isg, _ = import_reference_checkpoint(args.pt_path)
+        cell, isg, raw = import_reference_checkpoint(args.pt_path)
         params = {"cell": cell}
         if isg is not None:
             params["isg"] = isg
-        save_checkpoint(args.out, {"params": params},
-                        meta={"source": args.pt_path})
+        tree = {"params": params}
+        meta = {"source": args.pt_path}
+        moments = map_adam_moments(raw)
+        if moments is not None:
+            import optax
+
+            def as_params(pair):
+                cell_m, isg_m = pair
+                return {"cell": cell_m, **({"isg": isg_m} if isg is not None
+                                           else {})}
+
+            tree["opt_state"] = optax.ScaleByAdamState(
+                count=jax.numpy.asarray(moments["count"], jax.numpy.int32),
+                mu=as_params(moments["mu"]), nu=as_params(moments["nu"]))
+            meta["iteration"] = moments["count"]
+        save_checkpoint(args.out, tree, meta=meta)
         n = len(jax.tree_util.tree_leaves(params))
         print(f"wrote {args.out}: {n} tensors"
-              + (" (cell + isg)" if isg is not None else " (cell only)"))
+              + (" (cell + isg)" if isg is not None else " (cell only)")
+              + (f" + Adam state @ step {moments['count']}"
+                 if moments is not None else ""))
         return 0
 
     from percnn_tpu.experiments import EXPERIMENTS

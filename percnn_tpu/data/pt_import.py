@@ -85,6 +85,21 @@ class _StorageRef:
         self.data: np.ndarray | None = None
 
 
+class _PtArray(np.ndarray):
+    """ndarray that remembers which checkpoint storage it came from.
+
+    ``storage_ident = (storage_key, offset, shape)`` — two state-dict
+    entries with the same ident are *aliases* of one nn.Parameter (e.g. the
+    Burgers Stage-1 UpconvBlock registers up0/out AND a Sequential built
+    from the same modules, so ``convnet.0.weight`` is ``up0.weight``,
+    rcnn_Burgers...py:38-52).  torch's ``model.parameters()`` dedupes such
+    aliases, which shifts optimizer-state indices — see map_adam_moments.
+    Behaves as a plain array everywhere else (np.asarray drops the subclass).
+    """
+
+    storage_ident: tuple | None = None
+
+
 class _LazyTensor:
     """Result of _rebuild_tensor_v2 before storages are bound."""
 
@@ -104,7 +119,9 @@ class _LazyTensor:
             shape=self.size,
             strides=tuple(s * itemsize for s in self.stride),
         )
-        return np.ascontiguousarray(arr)
+        out = np.ascontiguousarray(arr).view(_PtArray)
+        out.storage_ident = (self.storage.key, self.offset, self.size)
+        return out
 
 
 class _Stub:
@@ -352,6 +369,87 @@ def map_symbolic_state_dict(
     return {"nu": nu, "coef": coef}, _map_isg(sd)
 
 
+def _map_state_dict_like(sd: dict, map_kwargs: dict):
+    """Apply the right layout mapper (Pi vs symbolic) to a state-dict-shaped
+    mapping — used for the weights themselves AND for per-parameter
+    optimizer moments (which transform identically, entry for entry)."""
+    prefix = map_kwargs.get("cell_prefix", "crnn_cell.")
+    if f"{prefix}nu_u" in sd:
+        return map_symbolic_state_dict(sd, **map_kwargs)
+    return map_pi_state_dict(sd, **map_kwargs)
+
+
+def map_adam_moments(raw: dict, **map_kwargs) -> dict | None:
+    """Map a reference ``optimizer_state_dict`` (torch.optim.Adam) to optax
+    ``scale_by_adam`` moments.
+
+    The reference saves and reloads the optimizer state on resume
+    (``torch.save({'model_state_dict', 'optimizer_state_dict'}, ...)``,
+    train_2drd.py:417-424, reload :432-439); importing it lets a mid-training
+    reference run continue in-framework without an Adam cold start.
+
+    torch Adam state is keyed by parameter *index* into the param-group
+    list, which for ``optim.Adam(model.parameters())`` follows module
+    registration order over *unique* parameters — ``model.parameters()``
+    dedupes aliased tensors, so checkpoints whose UpconvBlock registers the
+    same convs twice (named members + a Sequential, rcnn_Burgers...py:38-52)
+    have fewer optimizer slots than state-dict entries.  Aliases are
+    detected via the storages recorded by load_pt (``_PtArray.storage_ident``)
+    and each moment is assigned to every alias name, so whichever name the
+    layout mapper prefers sees it.  Frozen parameters (requires_grad=False,
+    e.g. W_laplace) appear in the index space but never get state; their
+    moments stay zero.
+
+    Returns {'mu': (cell, isg), 'nu': (cell, isg), 'count': int} with
+    cell/isg shaped exactly like the mapped weight pytrees (torch
+    ``exp_avg``/``exp_avg_sq`` == optax ``mu``/``nu``; torch ``step`` ==
+    optax ``count`` — both feed the same bias correction), or None when the
+    checkpoint carries no optimizer state.
+    """
+    sd = raw.get("model_state_dict")
+    opt = raw.get("optimizer_state_dict")
+    if sd is None or not isinstance(opt, dict) or not opt.get("state"):
+        return None
+    # position space = registration order over UNIQUE parameters (aliases
+    # dedupe to their first name, matching torch's model.parameters())
+    names = []          # unique-position -> canonical name
+    aliases = {}        # canonical name -> [all names sharing its storage]
+    first_by_ident = {}
+    for n, v in sd.items():
+        ident = getattr(v, "storage_ident", None)
+        if ident is not None and ident in first_by_ident:
+            aliases[first_by_ident[ident]].append(n)
+            continue
+        if ident is not None:
+            first_by_ident[ident] = n
+        names.append(n)
+        aliases[n] = [n]
+    # two packings exist in the wild: state keyed by position index
+    # (modern torch) or by raw param id() with param_groups carrying the
+    # same ids in registration order (what the reference's checkpoints use)
+    pg_ids = []
+    for g in opt.get("param_groups") or []:
+        pg_ids.extend(g.get("params") or [])
+    id_to_pos = {int(pid): j for j, pid in enumerate(pg_ids)}
+    mu_sd = {n: np.zeros_like(np.asarray(v)) for n, v in sd.items()}
+    nu_sd = {n: np.zeros_like(np.asarray(v)) for n, v in sd.items()}
+    count = 0
+    for idx, st in opt["state"].items():
+        k = int(idx)
+        pos = id_to_pos[k] if k in id_to_pos else k
+        if not 0 <= pos < len(names):
+            raise ValueError(
+                f"optimizer state key {k} resolves to position {pos}, out of "
+                f"range for {len(names)} unique model parameters")
+        for name in aliases[names[pos]]:
+            mu_sd[name] = np.asarray(st["exp_avg"])
+            nu_sd[name] = np.asarray(st["exp_avg_sq"])
+        count = max(count, int(np.asarray(st["step"]).item()))
+    mu_cell, mu_isg = _map_state_dict_like(mu_sd, map_kwargs)
+    nu_cell, nu_isg = _map_state_dict_like(nu_sd, map_kwargs)
+    return {"mu": (mu_cell, mu_isg), "nu": (nu_cell, nu_isg), "count": count}
+
+
 def import_reference_checkpoint(path: str, **map_kwargs):
     """load_pt + the right mapper (Pi vs symbolic cell, auto-detected).
 
@@ -359,9 +457,5 @@ def import_reference_checkpoint(path: str, **map_kwargs):
     checkpoint (including optimizer state) for inspection."""
     raw = load_pt(path)
     sd = raw["model_state_dict"] if "model_state_dict" in raw else raw
-    prefix = map_kwargs.get("cell_prefix", "crnn_cell.")
-    if f"{prefix}nu_u" in sd:
-        cell, isg = map_symbolic_state_dict(sd, **map_kwargs)
-    else:
-        cell, isg = map_pi_state_dict(sd, **map_kwargs)
+    cell, isg = _map_state_dict_like(sd, map_kwargs)
     return cell, isg, raw

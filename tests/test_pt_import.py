@@ -187,3 +187,110 @@ def test_bf16_checkpoint_decodes_to_f32():
         np.testing.assert_array_equal(
             got["w"], vals.to(torch.float32).numpy())
         np.testing.assert_array_equal(got["x"], [1.0, 2.0])
+
+
+def test_adam_state_import_continues_torch_trajectory():
+    """map_adam_moments: torch Adam moments land in the right optax leaves
+    (layout-transposed) and one further optax step reproduces one further
+    torch step exactly (same bias correction, same update rule).
+
+    Mirrors the reference's resume path, which reloads
+    ``optimizer_state_dict`` alongside the weights (train_2drd.py:432-439).
+    """
+    torch = pytest.importorskip("torch")
+    import jax
+    import optax
+    from percnn_tpu.data.pt_import import load_pt, map_adam_moments, \
+        map_pi_state_dict
+
+    torch.manual_seed(0)
+    C = 3
+
+    class Cell(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.CA = torch.nn.Parameter(torch.tensor(0.3))
+            self.CB = torch.nn.Parameter(torch.tensor(-0.2))
+            for cn in ("u", "v"):
+                for i in (1, 2, 3):
+                    setattr(self, f"Wh{i}_{cn}", torch.nn.Conv2d(2, C, 1))
+                setattr(self, f"Wh4_{cn}", torch.nn.Conv2d(C, 1, 1))
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.crnn_cell = Cell()
+
+    model = Model()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-2)
+    # a loss with grad == param puts distinct, known moments everywhere
+    for _ in range(5):
+        opt.zero_grad()
+        loss = sum(0.5 * (p ** 2).sum() for p in model.parameters())
+        loss.backward()
+        opt.step()
+    path = "/tmp/pt_import_adam.pt"
+    torch.save({"model_state_dict": model.state_dict(),
+                "optimizer_state_dict": opt.state_dict()}, path)
+
+    raw = load_pt(path)
+    cell, isg = map_pi_state_dict(raw["model_state_dict"])
+    moments = map_adam_moments(raw)
+    assert moments is not None and moments["count"] == 5
+    mu_cell, mu_isg = moments["mu"]
+    assert mu_isg is None and isg is None
+    # spot-check a mapped moment leaf against torch's exp_avg
+    idx = list(raw["model_state_dict"].keys()).index("crnn_cell.Wh1_u.weight")
+    exp_avg = opt.state_dict()["state"][idx]["exp_avg"].numpy()
+    np.testing.assert_allclose(mu_cell["pi"][0]["w0"],
+                               exp_avg[:, :, 0, 0].T, rtol=1e-6)
+
+    # continue: one more torch step vs one more optax step on the same loss
+    opt.zero_grad()
+    loss = sum(0.5 * (p ** 2).sum() for p in model.parameters())
+    loss.backward()
+    opt.step()
+    want_cell, _ = map_pi_state_dict(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()})
+
+    tx = optax.scale_by_adam()
+    params = jax.tree_util.tree_map(jnp.asarray, cell)
+    state = optax.ScaleByAdamState(
+        count=jnp.asarray(moments["count"], jnp.int32),
+        mu=jax.tree_util.tree_map(jnp.asarray, mu_cell),
+        nu=jax.tree_util.tree_map(jnp.asarray, moments["nu"][0]))
+    updates, _ = tx.update(params, state, params)  # grad == param
+    got = jax.tree_util.tree_map(lambda p, u: p - 1e-2 * u, params, updates)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-7),
+        got, want_cell)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not present")
+def test_adam_state_import_dedupes_aliased_params():
+    """Burgers Stage-1's UpconvBlock registers its convs twice (named
+    members + a Sequential over the same modules, rcnn_Burgers...py:38-52),
+    so the 27-entry state dict has only 23 unique parameters and torch's
+    optimizer indices run over the deduped list.  Check the moments land on
+    the right leaves via the storage-identity dedup."""
+    from percnn_tpu.data.pt_import import load_pt, map_adam_moments
+
+    raw = load_pt(CKPTS["pt_burgers_s1"])
+    m = map_adam_moments(raw)
+    assert m is not None and m["count"] == 29922
+    st = raw["optimizer_state_dict"]["state"]
+    mu_cell, mu_isg = m["mu"]
+    # optimizer position 7 (post-dedup) = crnn_cell.Wh1_u.weight, k=5 conv
+    np.testing.assert_array_equal(
+        mu_cell["pi"][0]["w0"],
+        np.transpose(np.asarray(st[7]["exp_avg"]), (2, 3, 1, 0)))
+    # position 4/5 = the CA/CB diffusion scalars
+    np.testing.assert_array_equal(
+        mu_cell["diff"],
+        np.stack([np.asarray(st[4]["exp_avg"]).reshape(()),
+                  np.asarray(st[5]["exp_avg"]).reshape(())]))
+    # position 0 = up0.weight (also aliased as convnet.0.weight)
+    np.testing.assert_array_equal(
+        mu_isg["up0_w"],
+        np.transpose(np.asarray(st[0]["exp_avg"]), (2, 3, 0, 1)))

@@ -43,6 +43,21 @@ class TrainConfig:
     val_key: str = "val"      # aux key used for best-val / watchdog
     watchdog: bool = False    # NaN watchdog (reload + LR*0.9)
     watchdog_key: str = "phy"
+    spike_mult: float | None = None
+    # Finite-divergence watchdog: a chunk whose watchdog_key metric exceeds
+    # spike_mult x its running EMA triggers the same reload+backoff as NaN.
+    # The reference's watchdog only catches NaN (train_3drd.py:427-434); its
+    # GS3D workload can also destabilize FINITELY mid-run (loss explodes,
+    # partially recovers, final params degraded — observed round 2: seed 0
+    # rel-L2 0.167 vs seed 1 0.0288).  Opt-in deviation, default off.
+    spike_warmup: int = 500   # iterations before spike checks arm
+    best_key: str | None = None
+    # Return the params with the lowest value of this aux metric (e.g.
+    # "loss"/"data") instead of the final ones — robust to SLOW finite
+    # divergence that neither watchdog can catch (round-2 GS3D seed 0
+    # drifted phy 12x over 5000 iters and kept degraded final params).
+    # Orthogonal to best_val (which needs a val split).  Opt-in deviation
+    # from the reference, which always keeps last params.
     log_path: str | None = None
     log_every: int = 50
     steps_per_call: int = 1   # optimizer steps fused per device call: the
@@ -130,6 +145,8 @@ def train(
     history = []
     best_params = state.params
     nan_streak = 0
+    watch_ema = None
+    best_metric = math.inf
 
     def save(path_suffix=""):
         if cfg.ckpt_path:
@@ -149,23 +166,36 @@ def train(
             auxs = {k: np.asarray(v) for k, v in auxs.items()}
             watch = auxs.get(cfg.watchdog_key, totals) if cfg.watchdog else totals
 
-            if cfg.watchdog and (np.isnan(watch).any() or np.isnan(totals).any()):
+            bad = np.isnan(watch).any() or np.isnan(totals).any()
+            spiked = (not bad and cfg.watchdog and cfg.spike_mult is not None
+                      and watch_ema is not None and it >= cfg.spike_warmup
+                      and float(np.max(watch)) > cfg.spike_mult * watch_ema)
+            if cfg.watchdog and (bad or spiked):
                 # reference watchdog: reload last checkpoint, LR *= 0.9,
                 # retry the SAME iterations (train_3drd.py:427-434); a cap
-                # on consecutive failures prevents an infinite loop
+                # on consecutive failures prevents an infinite loop.  The
+                # spike variant (finite divergence, see TrainConfig) shares
+                # the reload path.
                 nan_streak += 1
                 if nan_streak > 50:
                     raise FloatingPointError(
-                        "NaN watchdog: 50 consecutive failed chunks "
+                        "watchdog: 50 consecutive failed chunks "
                         f"(iteration {it}); aborting")
                 state.lr_scale *= 0.9
                 if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
                     tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
                     state.params = tree["params"]
                     state.opt_state = tree["opt_state"]
-                logger.log(it, event="nan_watchdog", lr_scale=state.lr_scale)
+                logger.log(it, event="spike_watchdog" if spiked else "nan_watchdog",
+                           lr_scale=state.lr_scale,
+                           **({"watch": float(np.max(watch)),
+                               "ema": watch_ema} if spiked else {}))
                 continue
             nan_streak = 0
+            w_last = float(watch[-1])
+            if np.isfinite(w_last):
+                watch_ema = (w_last if watch_ema is None
+                             else 0.9 * watch_ema + 0.1 * w_last)
 
             state.params, state.opt_state = new_params, new_opt
             state.iteration += n_sub
@@ -183,6 +213,13 @@ def train(
                 state.best_val = val
                 best_params = state.params
                 save(".best")
+            if cfg.best_key is not None:
+                bm = float(totals[-1]) if cfg.best_key == "loss" \
+                    else float(auxs.get(cfg.best_key, [np.nan])[-1])
+                if not math.isnan(bm) and bm < best_metric:
+                    best_metric = bm
+                    best_params = state.params
+                    save(".best")
 
             if cfg.ckpt_path and (state.iteration % cfg.ckpt_every < n_sub
                                   or state.iteration >= cfg.n_iters):
@@ -191,7 +228,8 @@ def train(
         if own_logger:
             logger.close()
 
-    return (best_params if cfg.best_val else state.params), history
+    return (best_params if cfg.best_val or cfg.best_key is not None
+            else state.params), history
 
 
 def pretrain_isg(

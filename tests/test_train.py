@@ -50,7 +50,7 @@ def test_watchdog_reloads_and_decays_lr(tmp_path):
     # forever.
     cfg = TrainConfig(n_iters=20, lr=1e-2, watchdog=True, watchdog_key="phy",
                       ckpt_path=str(tmp_path / "w.npz"))
-    with pytest.raises(FloatingPointError, match="NaN watchdog"):
+    with pytest.raises(FloatingPointError, match="watchdog"):
         train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg)
 
     # with a recoverable state (params start finite, checkpoint written
@@ -107,6 +107,44 @@ def test_best_val_policy(tmp_path):
     params, _ = train(loss_fn, {"w": jnp.ones(2)}, cfg)
     # earliest iterate (closest to initial w=1) should be kept
     assert float(jnp.sum(params["w"] ** 2)) > 0.5
+
+
+def test_best_key_keeps_healthiest_iterate(tmp_path):
+    """best_key selects by an aux metric mid-run: the optimized loss drives
+    w monotonically up, but 'data' is best near w=2 — the returned params
+    must be the mid-run iterate, not the final one (the round-2 GS3D
+    slow-drift failure mode: last != best)."""
+    def loss_fn(p):
+        w = p["w"]
+        return -jnp.sum(w), {"data": jnp.sum((w - 2.0) ** 2)}
+
+    cfg = TrainConfig(n_iters=400, lr=0.02, best_key="data",
+                      ckpt_path=str(tmp_path / "bk.npz"), ckpt_every=1000)
+    params, _ = train(loss_fn, {"w": jnp.zeros(2)}, cfg)
+    w = np.asarray(params["w"])
+    assert np.all(np.abs(w - 2.0) < 0.3), w      # kept ~best iterate
+    best = np.load(str(tmp_path / "bk.npz.best"))  # .best checkpoint written
+    assert best is not None
+
+
+def test_spike_watchdog_triggers_on_finite_divergence(tmp_path):
+    """A finite (non-NaN) jump of the watch metric past spike_mult x its EMA
+    triggers reload+backoff; with the guard off the same run completes."""
+    def loss_fn(p):
+        w = jnp.sum(p["w"])
+        phy = jnp.where(w > 0.5, 1e4, 1.0)      # violent finite divergence
+        return -w, {"phy": phy}
+
+    base = dict(n_iters=200, lr=0.01, watchdog=True, watchdog_key="phy",
+                ckpt_path=str(tmp_path / "sw.npz"), ckpt_every=1)
+    # armed: training cannot pass w=0.5 — the spike rolls it back each time
+    # until the failure-streak cap aborts (proves the trigger fires)
+    with pytest.raises(FloatingPointError, match="watchdog"):
+        train(loss_fn, {"w": jnp.zeros(2)},
+              TrainConfig(**base, spike_mult=10.0, spike_warmup=0))
+    # off (default): finite values never trigger, run completes
+    params, hist = train(loss_fn, {"w": jnp.zeros(2)}, TrainConfig(**base))
+    assert len(hist) == 200
 
 
 def _tiny_lo_config():

@@ -465,12 +465,19 @@ def _fused_tp_fwd(params, h0, cfg, n_steps, pgrad_chunk):
     return frames, (params, packed, h0_pad, frames_pad)
 
 
+YS_PATH_ENABLED = True
+"""Kill switch for the hoisted-ys k>1 backward (set False to force the
+round-2 in-kernel-recompute path, e.g. if the ys kernel fails to compile
+on a given toolchain)."""
+
+
 def _ys_path_ok(cfg: PiCellConfig, n_steps: int, H: int, W: int) -> bool:
     """The hoisted-ys backward needs the [T, 2*nb*C, H, W] activation
     stream resident in HBM; cap it at 8 GB (reference k=5 workloads are
     ~0.8 GB at T=200)."""
-    return (2 * cfg.n_branches * cfg.hidden * n_steps * H * W * 4
-            <= 8 * 1024 ** 3)
+    return YS_PATH_ENABLED and (
+        2 * cfg.n_branches * cfg.hidden * n_steps * H * W * 4
+        <= 8 * 1024 ** 3)
 
 
 def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):

@@ -329,6 +329,183 @@ def _fused_phase1_ys(packed, frames_pad, fbar_pad, ys_flat, *, cfg, n_steps,
     return gins, g0
 
 
+MXU_BWD_ENABLED = True
+"""Route the k>1 reverse sweep through the im2col+dot_general kernel
+(branch activations AND the adjoint correlation as MXU matmuls, activations
+streamed out for the phase-2 parameter gradients)."""
+
+
+def pack_adjoint_matrix_2d(wmat: jnp.ndarray, cfg: PiCellConfig) -> jnp.ndarray:
+    """Adjoint matmul operand [K2, M] from the forward one ([M, K]):
+    row 2*tap + cin of the transpose of wmat's tap columns (bias dropped —
+    biases don't enter the Jacobian), zero-padded to a multiple of 8."""
+    from percnn_tpu.ops.pallas.cell2d import _round_up
+
+    taps = cfg.kernel_size ** 2 * 2
+    w2 = wmat[:, :taps].T
+    pad = _round_up(taps, 8) - taps
+    return jnp.pad(w2, ((0, pad), (0, 0)))
+
+
+def _phase1_mxu_kernel(p_ref, wm_ref, w2_ref, frames_ref, fbar_ref,
+                       gins_ref, g0_ref, ys_ref,
+                       sgu_ref, sgv_ref, s_ref, y_ref, z_ref, zw_ref, *,
+                       cfg: PiCellConfig, H: int, W: int, n_steps: int):
+    """Reverse sweep with BOTH heavy contractions on the MXU:
+
+      y   = Wm @ im2col(h_t)            (branch activations, as forward)
+      zw  = W2 @ z                      (adjoint pre-shift contraction)
+      jt  = sum_tap shift_tap(zw[tap])  (shift-after-matmul accumulation)
+
+    where z[(o,i,c)] = w_out[c] * g_o * prod_{j != i} y_{(o,j,c)}.  The
+    shift-after-matmul ordering works because the matmul is pointwise in
+    space; zw rows get their periodic halos refreshed before the shifted
+    reads.  y is streamed out for the phase-2 parameter gradients (zero
+    extra compute — it exists anyway)."""
+    from percnn_tpu.ops.pallas.cell2d import _build_im2col
+
+    k = pl.program_id(0)
+    kk = cfg.kernel_size
+    r = kk // 2
+    C = cfg.hidden
+    nb = cfg.n_branches
+    wsize = kk * kk * 2 * C
+    stride = wsize + C
+    block = _param_block(cfg)
+
+    @pl.when(k == 0)
+    def _():
+        sgu_ref[:, :] = jnp.zeros_like(sgu_ref)
+        sgv_ref[:, :] = jnp.zeros_like(sgv_ref)
+        z_ref[:, :, :] = jnp.zeros_like(z_ref)
+
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+    gu_in_i = _interior(sgu_ref[:, :], 0, 0, H, W) + fbar_ref[0, 0, HALO:HALO + H, HALO:HALO + W]
+    gv_in_i = _interior(sgv_ref[:, :], 0, 0, H, W) + fbar_ref[0, 1, HALO:HALO + H, HALO:HALO + W]
+    _refresh_halos(sgu_ref, gu_in_i, H, W)
+    _refresh_halos(sgv_ref, gv_in_i, H, W)
+    gins_ref[0, 0, :, :] = sgu_ref[:, :]
+    gins_ref[0, 1, :, :] = sgv_ref[:, :]
+
+    lap_gu = _lap(sgu_ref[:, :], H, W, inv_dx2)
+    lap_gv = _lap(sgv_ref[:, :], H, W, inv_dx2)
+
+    # branch activations on the MXU (same as the forward kernel)
+    _build_im2col(s_ref, frames_ref[0, 0, :, :], frames_ref[0, 1, :, :],
+                  kk, H, W, k)
+    y_ref[:, :, :] = jax.lax.dot_general(
+        wm_ref[:, :], s_ref[:, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ys_ref[0, :, :, :] = y_ref[:, :, :]
+
+    # z rows (VPU): w_out[c] * g_o * product of the OTHER branches
+    for o in range(cfg.channels):
+        base = 2 + o * block
+        g = gu_in_i if o == 0 else gv_in_i
+        for c in range(C):
+            ys = [y_ref[(o * nb + i) * C + c, 0:H, 0:W] for i in range(nb)]
+            t0 = p_ref[base + nb * stride + c] * g
+            for i in range(nb):
+                pexc = None
+                for j in range(nb):
+                    if j != i:
+                        pexc = ys[j] if pexc is None else pexc * ys[j]
+                zi = t0 if pexc is None else t0 * pexc
+                z_ref[(o * nb + i) * C + c, HALO:HALO + H, HALO:HALO + W] = zi
+
+    # adjoint contraction on the MXU, then shift-accumulate
+    zw_ref[:, :, :] = jax.lax.dot_general(
+        w2_ref[:, :], z_ref[:, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    du = None
+    dv = None
+    for ki in range(kk):
+        for kj in range(kk):
+            tap = ki * kk + kj
+            # refresh this row's halos, then read at the REVERSED shift
+            for cin in range(2):
+                row = 2 * tap + cin
+                _refresh_halos(zw_ref.at[row],
+                               _interior(zw_ref[row], 0, 0, H, W), H, W)
+            su = _interior(zw_ref[2 * tap], r - ki, r - kj, H, W)
+            sv = _interior(zw_ref[2 * tap + 1], r - ki, r - kj, H, W)
+            du = su if du is None else du + su
+            dv = sv if dv is None else dv + sv
+
+    gu_prev = gu_in_i + cfg.dt * (p_ref[0] * lap_gu + du)
+    gv_prev = gv_in_i + cfg.dt * (p_ref[1] * lap_gv + dv)
+    _refresh_halos(sgu_ref, gu_prev, H, W)
+    _refresh_halos(sgv_ref, gv_prev, H, W)
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        g0_ref[0, :, :] = sgu_ref[:, :]
+        g0_ref[1, :, :] = sgv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_phase1_mxu(packed, wmat, w2mat, frames_pad, fbar_pad, *, cfg,
+                      n_steps, H, W, interpret):
+    """MXU reverse sweep. Returns (g_ins, g0, ys_stream) where ys_stream is
+    [T, M, Hp, Wp] (valid at [0:H, 0:W]) for `_param_grads_stream`."""
+    from percnn_tpu.ops.pallas.cell2d import _round_up, mxu_rows, n_taps
+
+    hp, wp = frames_pad.shape[2], frames_pad.shape[3]
+    K = _round_up(n_taps(cfg), 8)
+    K2 = _round_up(cfg.kernel_size ** 2 * 2, 8)
+    M = mxu_rows(cfg)
+    kernel = functools.partial(_phase1_mxu_kernel, cfg=cfg, H=H, W=W,
+                               n_steps=n_steps)
+    rev = lambda k: (n_steps - 1 - k, 0, 0, 0)
+    gins, g0, ys = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, K), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, M), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, hp, wp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, wp), lambda k: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, hp, wp), rev, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, 2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, M, hp, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((K, hp, wp), jnp.float32),
+            pltpu.VMEM((M, hp, wp), jnp.float32),
+            pltpu.VMEM((M, hp, wp), jnp.float32),
+            pltpu.VMEM((K2, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, wmat, w2mat, frames_pad, fbar_pad)
+    return gins, g0, ys
+
+
+def _param_grads_stream(params, h_prev, g_ins, ys_stream, cfg: PiCellConfig):
+    """`_param_grads_direct` consuming the kernel-streamed activations
+    ([T, M, Hp, Wp], rows (o*nb + i)*C + c, valid at [0:H, 0:W]) instead of
+    recomputing them with batched convs."""
+    H, W = h_prev.shape[1], h_prev.shape[2]
+    nb = cfg.n_branches
+    C = cfg.hidden
+    ys = [[jnp.moveaxis(
+        ys_stream[:, (o * nb + i) * C:(o * nb + i + 1) * C, 0:H, 0:W], 1, -1)
+        for i in range(nb)] for o in range(cfg.channels)]
+    return _param_grads_direct(params, h_prev, g_ins, ys, cfg)
+
+
 def _precompute_ys(params, h_prev, cfg: PiCellConfig):
     """Branch activations y_{o,i} = conv(w_i^o)(h_t) + b_i^o for ALL steps,
     as time-batched XLA convs (MXU) — the hoisted half of the reverse sweep.
@@ -452,9 +629,18 @@ def _forward(params, h0, cfg, n_steps):
     H, W = h0.shape[0], h0.shape[1]
     packed = pack_pi_params_2d(params, cfg)
     h0_pad = pad_state_2d(h0.astype(jnp.float32))
-    frames_pad = _fused_rollout_padded(
-        packed, h0_pad, cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret
+    from percnn_tpu.ops.pallas.cell2d import (
+        MXU_FWD_ENABLED, _fused_rollout_padded_mxu, pack_pi_matrix_2d,
     )
+    if cfg.kernel_size > 1 and MXU_FWD_ENABLED:
+        wmat = pack_pi_matrix_2d(params, cfg)
+        frames_pad = _fused_rollout_padded_mxu(
+            packed, wmat, h0_pad, cfg=cfg, n_steps=n_steps, H=H, W=W,
+            interpret=interpret)
+    else:
+        frames_pad = _fused_rollout_padded(
+            packed, h0_pad, cfg=cfg, n_steps=n_steps, H=H, W=W,
+            interpret=interpret)
     out = unpad_frames_2d(frames_pad, H, W)
     frames = jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)
     return frames, (packed, h0_pad, frames_pad)
@@ -496,7 +682,21 @@ def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
     frames_prev_pad = _frames_h_prev(h0_pad, frames_pad)
     h_prev = unpad_frames_2d(frames_prev_pad, H, W)
 
-    if cfg.kernel_size > 1 and _ys_path_ok(cfg, n_steps, H, W):
+    if cfg.kernel_size > 1 and MXU_BWD_ENABLED \
+            and _ys_path_ok(cfg, n_steps, H, W):
+        # k>1 fastest path: activations AND adjoint as in-kernel MXU
+        # matmuls; activations streamed out for direct parameter grads.
+        from percnn_tpu.ops.pallas.cell2d import pack_pi_matrix_2d
+
+        wmat = pack_pi_matrix_2d(params, cfg)
+        w2mat = pack_adjoint_matrix_2d(wmat, cfg)
+        gins_pad, g0_pad, ys_stream = _fused_phase1_mxu(
+            packed, wmat, w2mat, frames_prev_pad, fbar_pad,
+            cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret,
+        )
+        g_ins = unpad_frames_2d(gins_pad, H, W)
+        params_bar = _param_grads_stream(params, h_prev, g_ins, ys_stream, cfg)
+    elif cfg.kernel_size > 1 and _ys_path_ok(cfg, n_steps, H, W):
         # k>1 fast path: branch activations hoisted out of the sequential
         # sweep (time-batched MXU convs), parameter gradients computed
         # directly from the streamed cotangents — no cell re-execution.

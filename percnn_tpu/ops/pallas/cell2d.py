@@ -41,6 +41,11 @@ HALO = 2
 # Single-field state + streamed IO leave most of the chip's VMEM free.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+MXU_FWD_ENABLED = True
+"""Route k>1 rollouts through the im2col+dot_general kernel (the branch
+convs run on the MXU instead of unrolled VPU FMAs).  Kill switch for
+toolchains where the in-kernel dot misbehaves."""
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -89,6 +94,152 @@ def pack_pi_params_2d(params: dict, cfg: PiCellConfig) -> jnp.ndarray:
         parts.append(br["w_out"].reshape(-1))
         parts.append(br["b_out"].reshape(-1))
     return jnp.concatenate([p.astype(jnp.float32) for p in parts])
+
+
+def n_taps(cfg: PiCellConfig) -> int:
+    """im2col rows for the MXU branch-conv path: k*k taps x 2 channels + a
+    ones row that folds the biases into the matmul."""
+    return cfg.kernel_size ** 2 * 2 + 1
+
+
+def mxu_rows(cfg: PiCellConfig) -> int:
+    """Matmul M dimension: one row per (output eq, branch, hidden channel)."""
+    return cfg.channels * cfg.n_branches * cfg.hidden
+
+
+def pack_pi_matrix_2d(params: dict, cfg: PiCellConfig) -> jnp.ndarray:
+    """Branch-conv weights as ONE [M, K] matmul operand (VMEM input).
+
+    Row (o*nb + i)*C + c holds branch i of output o, hidden channel c:
+    columns (ki*k + kj)*2 + cin are the conv taps (matching `_build_im2col`'s
+    shifted-plane order) and column k*k*2 is the bias (multiplied by the
+    ones row).  K is padded to a multiple of 8 with zeros so the scratch
+    operand is tile-aligned.
+    """
+    k = cfg.kernel_size
+    C = cfg.hidden
+    nb = cfg.n_branches
+    K = _round_up(n_taps(cfg), 8)
+    blocks = []
+    for o in range(cfg.channels):
+        br = params["pi"][o]
+        for i in range(nb):
+            w = jnp.asarray(br[f"w{i}"], jnp.float32).reshape(k, k, 2, C)
+            b = jnp.asarray(br[f"b{i}"], jnp.float32).reshape(C)
+            m = jnp.moveaxis(w, -1, 0).reshape(C, k * k * 2)
+            pad = jnp.zeros((C, K - k * k * 2 - 1), jnp.float32)
+            blocks.append(jnp.concatenate([m, b[:, None], pad], axis=1))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _build_im2col(s_ref, up, vp, k: int, H: int, W: int, t):
+    """Write the k*k x 2 shifted interiors of the padded state planes into
+    the im2col scratch rows [*, 0:H, 0:W]; the ones row (bias) is written
+    once at t == 0 (scratch persists across grid steps).  Columns outside
+    [0:H, 0:W] hold junk — the matmul is pointwise in space, so junk
+    columns only produce junk output columns, which are never read."""
+    r_half = k // 2
+
+    @pl.when(t == 0)
+    def _():
+        # zero everything once: the pad rows multiply ZERO weight columns,
+        # but uninitialized junk can be NaN and NaN * 0 = NaN; then set the
+        # bias (ones) row.  Data rows are overwritten every step.
+        s_ref[:, :, :] = jnp.zeros_like(s_ref)
+        s_ref[k * k * 2, :, :] = jnp.ones_like(s_ref[0, :, :])
+
+    row = 0
+    for ki in range(k):
+        for kj in range(k):
+            s_ref[row, 0:H, 0:W] = up[HALO + ki - r_half:HALO + ki - r_half + H,
+                                      HALO + kj - r_half:HALO + kj - r_half + W]
+            s_ref[row + 1, 0:H, 0:W] = vp[HALO + ki - r_half:HALO + ki - r_half + H,
+                                          HALO + kj - r_half:HALO + kj - r_half + W]
+            row += 2
+
+
+def _pi_poly_from_y(y_ref, p, base: int, o: int, cfg: PiCellConfig,
+                    H: int, W: int):
+    """Pi-block output for eq `o` from the matmul activations y_ref
+    ([M, Hp, Wp], rows as in pack_pi_matrix_2d; spatial positions [0:H, 0:W])."""
+    C = cfg.hidden
+    nb = cfg.n_branches
+    wsize = cfg.kernel_size ** 2 * 2 * C
+    stride = wsize + C
+    acc = None
+    for c in range(C):
+        prod = None
+        for i in range(nb):
+            y = y_ref[(o * nb + i) * C + c, 0:H, 0:W]
+            prod = y if prod is None else prod * y
+        term = p[base + nb * stride + c] * prod
+        acc = term if acc is None else acc + term
+    return acc + p[base + nb * stride + C]
+
+
+def _rollout_kernel_mxu(p_ref, wm_ref, init_ref, out_ref, su_ref, sv_ref,
+                        s_ref, y_ref, *, cfg: PiCellConfig, H: int, W: int):
+    """Forward rollout step with the branch convs on the MXU: im2col by
+    halo-shifted slices + ONE [M, K] x [K, Hp, Wp] dot_general per step,
+    replacing ~k*k*2*M VPU plane-FMAs (4800 for the Burgers cell)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        su_ref[:, :] = init_ref[0, :, :]
+        sv_ref[:, :] = init_ref[1, :, :]
+
+    u = su_ref[:, :]
+    v = sv_ref[:, :]
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+    block = _param_block(cfg)
+    lap_u = _lap(u, H, W, inv_dx2)
+    lap_v = _lap(v, H, W, inv_dx2)
+    ui = _interior(u, 0, 0, H, W)
+    vi = _interior(v, 0, 0, H, W)
+    _build_im2col(s_ref, u, v, cfg.kernel_size, H, W, t)
+    y_ref[:, :, :] = jax.lax.dot_general(
+        wm_ref[:, :], s_ref[:, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pi_u = _pi_poly_from_y(y_ref, p_ref, 2, 0, cfg, H, W)
+    pi_v = _pi_poly_from_y(y_ref, p_ref, 2 + block, 1, cfg, H, W)
+    un = ui + cfg.dt * (p_ref[0] * lap_u + pi_u)
+    vn = vi + cfg.dt * (p_ref[1] * lap_v + pi_v)
+    _refresh_halos(su_ref, un, H, W)
+    _refresh_halos(sv_ref, vn, H, W)
+    out_ref[0, 0, :, :] = su_ref[:, :]
+    out_ref[0, 1, :, :] = sv_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "H", "W", "interpret"))
+def _fused_rollout_padded_mxu(packed, wmat, state0, *, cfg, n_steps, H, W,
+                              interpret):
+    hp, wp = state0.shape[1], state0.shape[2]
+    K = _round_up(n_taps(cfg), 8)
+    M = mxu_rows(cfg)
+    kernel = functools.partial(_rollout_kernel_mxu, cfg=cfg, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, wp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, hp, wp), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((K, hp, wp), jnp.float32),
+            pltpu.VMEM((M, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(packed, wmat, state0)
 
 
 def _check_fusable(cfg: PiCellConfig) -> None:
@@ -316,8 +467,14 @@ def fused_rollout_2d(
     H, W = h0.shape[0], h0.shape[1]
     packed = pack_pi_params_2d(params, cfg)
     state0 = pad_state_2d(h0.astype(jnp.float32))
-    frames = _fused_rollout_padded(
-        packed, state0, cfg=cfg, n_steps=n_steps, H=H, W=W, interpret=interpret
-    )
+    if cfg.kernel_size > 1 and MXU_FWD_ENABLED:
+        wmat = pack_pi_matrix_2d(params, cfg)
+        frames = _fused_rollout_padded_mxu(
+            packed, wmat, state0, cfg=cfg, n_steps=n_steps, H=H, W=W,
+            interpret=interpret)
+    else:
+        frames = _fused_rollout_padded(
+            packed, state0, cfg=cfg, n_steps=n_steps, H=H, W=W,
+            interpret=interpret)
     out = unpad_frames_2d(frames, H, W)
     return jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)

@@ -347,3 +347,38 @@ def test_fully_fused_pg_3d_gradients_match():
                                                 rtol=2e-4, atol=2e-6),
         g1, g2,
     )
+
+
+def test_mxu_and_vpu_k5_paths_agree():
+    """The im2col+dot_general (MXU) forward/backward and the unrolled-FMA
+    (VPU) fallback compute the same rollout and the same gradients — both
+    toggles must stay correct since the auto path picks per-toolchain."""
+    import percnn_tpu.ops.pallas.cell2d as C2
+    from percnn_tpu.ops.pallas import backward2d as B
+
+    cfg = PiCellConfig(ndim=2, hidden=16, kernel_size=5, dt=0.00025, dx=0.01,
+                       diffusion="sigmoid", mu_up=0.01, init_scale=0.5,
+                       init="fanin")
+    params = init_pi_cell(jax.random.PRNGKey(2), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (16, 24, 2),
+                                 jnp.float32)
+
+    def loss(p, h):
+        fr = B.fused_rollout_tp_2d(p, h, cfg, 5)
+        return jnp.mean(fr[1:] ** 2)
+
+    results = {}
+    try:
+        for mode in ("mxu", "vpu"):
+            C2.MXU_FWD_ENABLED = B.MXU_BWD_ENABLED = mode == "mxu"
+            fr = fused_rollout_2d(params, h0, cfg, 5)
+            g = jax.grad(loss, argnums=(0, 1))(params, h0)
+            results[mode] = (fr, g)
+    finally:
+        C2.MXU_FWD_ENABLED = B.MXU_BWD_ENABLED = True
+    np.testing.assert_allclose(np.asarray(results["mxu"][0]),
+                               np.asarray(results["vpu"][0]), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        results["mxu"][1], results["vpu"][1])

@@ -51,6 +51,12 @@ class TrainConfig:
     # partially recovers, final params degraded — observed round 2: seed 0
     # rel-L2 0.167 vs seed 1 0.0288).  Opt-in deviation, default off.
     spike_warmup: int = 500   # iterations before spike checks arm
+    spike_max_retries: int = 5
+    # Rollback replays a DETERMINISTIC trajectory (only lr_scale changes),
+    # so a landscape-driven finite spike can re-trigger forever; after this
+    # many consecutive rollbacks the spike is accepted as the new regime
+    # (EMA rebased, training continues — best_key still guards the final
+    # params).  NaN keeps the strict 50-retry cap: one can't train through it.
     best_key: str | None = None
     # Return the params with the lowest value of this aux metric (e.g.
     # "loss"/"data") instead of the final ones — robust to SLOW finite
@@ -145,6 +151,7 @@ def train(
     history = []
     best_params = state.params
     nan_streak = 0
+    spike_streak = 0
     watch_ema = None
     best_metric = math.inf
 
@@ -170,17 +177,27 @@ def train(
             spiked = (not bad and cfg.watchdog and cfg.spike_mult is not None
                       and watch_ema is not None and it >= cfg.spike_warmup
                       and float(np.max(watch)) > cfg.spike_mult * watch_ema)
+            if spiked and spike_streak >= cfg.spike_max_retries:
+                # rollback isn't escaping this (deterministic replay) —
+                # accept the new regime; best_key keeps the healthiest params
+                spiked = False
+                spike_streak = 0
+                watch_ema = float(np.max(watch))
+                logger.log(it, event="spike_accepted", ema=watch_ema)
             if cfg.watchdog and (bad or spiked):
                 # reference watchdog: reload last checkpoint, LR *= 0.9,
                 # retry the SAME iterations (train_3drd.py:427-434); a cap
                 # on consecutive failures prevents an infinite loop.  The
                 # spike variant (finite divergence, see TrainConfig) shares
-                # the reload path.
-                nan_streak += 1
-                if nan_streak > 50:
-                    raise FloatingPointError(
-                        "watchdog: 50 consecutive failed chunks "
-                        f"(iteration {it}); aborting")
+                # the reload path but gives up after spike_max_retries.
+                if bad:
+                    nan_streak += 1
+                    if nan_streak > 50:
+                        raise FloatingPointError(
+                            "watchdog: 50 consecutive failed chunks "
+                            f"(iteration {it}); aborting")
+                else:
+                    spike_streak += 1
                 state.lr_scale *= 0.9
                 if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
                     tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
@@ -192,6 +209,7 @@ def train(
                                "ema": watch_ema} if spiked else {}))
                 continue
             nan_streak = 0
+            spike_streak = 0
             w_last = float(watch[-1])
             if np.isfinite(w_last):
                 watch_ema = (w_last if watch_ema is None

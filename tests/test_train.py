@@ -129,22 +129,33 @@ def test_best_key_keeps_healthiest_iterate(tmp_path):
 
 def test_spike_watchdog_triggers_on_finite_divergence(tmp_path):
     """A finite (non-NaN) jump of the watch metric past spike_mult x its EMA
-    triggers reload+backoff; with the guard off the same run completes."""
+    triggers reload+backoff; after spike_max_retries deterministic-replay
+    rollbacks it ACCEPTS the new regime (rebased EMA) instead of aborting
+    the run — landscape-driven spikes must not kill training."""
+    import json
+
     def loss_fn(p):
         w = jnp.sum(p["w"])
         phy = jnp.where(w > 0.5, 1e4, 1.0)      # violent finite divergence
         return -w, {"phy": phy}
 
+    log = str(tmp_path / "sw.jsonl")
     base = dict(n_iters=200, lr=0.01, watchdog=True, watchdog_key="phy",
-                ckpt_path=str(tmp_path / "sw.npz"), ckpt_every=1)
-    # armed: training cannot pass w=0.5 — the spike rolls it back each time
-    # until the failure-streak cap aborts (proves the trigger fires)
-    with pytest.raises(FloatingPointError, match="watchdog"):
-        train(loss_fn, {"w": jnp.zeros(2)},
-              TrainConfig(**base, spike_mult=10.0, spike_warmup=0))
-    # off (default): finite values never trigger, run completes
+                ckpt_path=str(tmp_path / "sw.npz"), ckpt_every=1,
+                log_path=log, log_every=10 ** 9)
+    params, hist = train(loss_fn, {"w": jnp.zeros(2)},
+                         TrainConfig(**base, spike_mult=10.0, spike_warmup=0))
+    assert len(hist) == 200                      # completes despite spikes
+    events = [json.loads(l).get("event") for l in open(log)]
+    assert "spike_watchdog" in events            # rollback fired
+    assert "spike_accepted" in events            # bounded retries, then gave up
+    # off (default): finite values never trigger at all
+    log2 = str(tmp_path / "sw2.jsonl")
+    base["log_path"] = log2
+    base["ckpt_path"] = str(tmp_path / "sw2.npz")
     params, hist = train(loss_fn, {"w": jnp.zeros(2)}, TrainConfig(**base))
     assert len(hist) == 200
+    assert not any(json.loads(l).get("event") for l in open(log2))
 
 
 def _tiny_lo_config():

@@ -81,13 +81,14 @@ def gs3d_seed(seed):
 
 def noise_run(name, pct, stage1_iters=8000):
     from percnn_tpu.experiments import EXPERIMENTS
-    from percnn_tpu.experiments.pipeline import run_pipeline
+    from percnn_tpu.experiments.pipeline import run_discovery_pipeline
 
     exp = EXPERIMENTS[name]
     exp = dataclasses.replace(exp, noise_pct=pct)
-    res = run_pipeline(exp, out_dir=f"{OUT}/noise_{name}_{int(pct * 100)}",
-                       cache_dir="data_cache", stage1_iters=stage1_iters,
-                       steps_per_call=20)
+    res = run_discovery_pipeline(
+        exp, out_dir=f"{OUT}/noise_{name}_{int(pct * 100)}",
+        cache_dir="data_cache", stage1_iters=stage1_iters,
+        steps_per_call=20)
     out = {"system": name, "noise_pct": pct,
            "stage1_rel_l2": res["stage1"].get("rel_l2"),
            "stage3_rel_l2": res["stage3"].get("rel_l2")}

@@ -157,7 +157,13 @@ def main(argv=None):
             params["isg"] = isg
         tree = {"params": params}
         meta = {"source": args.pt_path}
-        moments = map_adam_moments(raw)
+        try:
+            moments = map_adam_moments(raw)
+        except Exception as e:
+            # weights-only import still succeeds on non-Adam / oddly packed
+            # optimizer state (pre-round-3 behavior: state was ignored)
+            print(f"warning: optimizer state not imported ({e})")
+            moments = None
         if moments is not None:
             import optax
 

@@ -116,6 +116,10 @@ def train(
     (e.g. the curriculum stage index, so resume re-enters the right stage).
     Returns (best-or-final params, loss_history list).
     """
+    if cfg.best_val and cfg.best_key is not None:
+        raise ValueError(
+            "best_val and best_key are mutually exclusive selection "
+            "policies — they would race for best_params/.best")
     tx = optax.scale_by_adam()
     state = TrainState(params, tx)
 
@@ -179,10 +183,13 @@ def train(
                       and float(np.max(watch)) > cfg.spike_mult * watch_ema)
             if spiked and spike_streak >= cfg.spike_max_retries:
                 # rollback isn't escaping this (deterministic replay) —
-                # accept the new regime; best_key keeps the healthiest params
+                # accept the new regime; best_key keeps the healthiest params.
+                # An inf watch value would poison the EMA forever (0.9*inf
+                # stays inf), so rebase only to finite values.
                 spiked = False
                 spike_streak = 0
-                watch_ema = float(np.max(watch))
+                w_new = float(np.max(watch))
+                watch_ema = w_new if math.isfinite(w_new) else None
                 logger.log(it, event="spike_accepted", ema=watch_ema)
             if cfg.watchdog and (bad or spiked):
                 # reference watchdog: reload last checkpoint, LR *= 0.9,

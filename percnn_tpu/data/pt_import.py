@@ -239,9 +239,10 @@ def load_pt(path: str) -> Any:
     unknown pickled objects become ``None``.
     """
     with open(path, "rb") as fh:
-        data = fh.read()
-    if data[:2] == b"PK":
-        return _load_zip(path)
+        head = fh.read(2)
+        if head == b"PK":
+            return _load_zip(path)
+        data = head + fh.read()
     return _load_legacy(data)
 
 
@@ -442,7 +443,16 @@ def map_adam_moments(raw: dict, **map_kwargs) -> dict | None:
                 f"optimizer state key {k} resolves to position {pos}, out of "
                 f"range for {len(names)} unique model parameters")
         for name in aliases[names[pos]]:
-            mu_sd[name] = np.asarray(st["exp_avg"])
+            ea = np.asarray(st["exp_avg"])
+            if ea.shape != np.shape(sd[name]):
+                # a registered buffer (absent from model.parameters()) would
+                # shift the position space — fail loudly, never misassign
+                raise ValueError(
+                    f"optimizer state {k} (shape {ea.shape}) maps to "
+                    f"parameter {name!r} (shape {np.shape(sd[name])}); the "
+                    "checkpoint's parameter ordering doesn't match its "
+                    "state dict (registered buffers?)")
+            mu_sd[name] = ea
             nu_sd[name] = np.asarray(st["exp_avg_sq"])
         count = max(count, int(np.asarray(st["step"]).item()))
     mu_cell, mu_isg = _map_state_dict_like(mu_sd, map_kwargs)

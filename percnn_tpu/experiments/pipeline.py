@@ -138,7 +138,13 @@ def run_discovery_pipeline(
         stage2_frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
     frames = stage2_frames
     if frames.stop > recon.shape[0]:
-        frames = slice(0, recon.shape[0])
+        # clip the window's END to the reconstruction, keeping its start —
+        # replacing the whole window would silently change the protocol
+        frames = slice(frames.start or 0, recon.shape[0])
+        if frames.start >= frames.stop:
+            raise ValueError(
+                f"stage2_frames {stage2_frames} lies beyond the "
+                f"{recon.shape[0]}-frame reconstruction")
     # subsample=0.2 matches the reference's 20% row subsample
     # (PDE_FIND_u.py:246-247); 1.0 regresses the full matrix (cheap with
     # the Gram-matrix solver, sharper at 0% noise).

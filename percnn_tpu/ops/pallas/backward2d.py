@@ -335,6 +335,24 @@ MXU_BWD_ENABLED = True
 streamed out for the phase-2 parameter gradients)."""
 
 
+def mxu_bwd_fits_vmem(cfg: PiCellConfig, H: int, W: int) -> bool:
+    """The MXU reverse sweep holds im2col + activation + cotangent-product
+    + adjoint planes in VMEM scratch and double-buffers an M-plane ys
+    output block; larger grids fall back to the hoisted-ys VPU kernel."""
+    from percnn_tpu.ops.pallas.cell2d import (
+        _round_up, mxu_rows, n_taps, padded_dims,
+    )
+
+    hp, wp = padded_dims(H, W)
+    M = mxu_rows(cfg)
+    planes = (2                                  # adjoint state
+              + _round_up(n_taps(cfg), 8)        # im2col stack
+              + 2 * M                            # y + z planes
+              + _round_up(cfg.kernel_size ** 2 * 2, 8)  # zw
+              + 2 * M + 16)                      # ys out buffers + IO margin
+    return planes * hp * wp * 4 <= 90 * 1024 ** 2
+
+
 def pack_adjoint_matrix_2d(wmat: jnp.ndarray, cfg: PiCellConfig) -> jnp.ndarray:
     """Adjoint matmul operand [K2, M] from the forward one ([M, K]):
     row 2*tap + cin of the transpose of wmat's tap columns (bias dropped —
@@ -683,6 +701,7 @@ def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
     h_prev = unpad_frames_2d(frames_prev_pad, H, W)
 
     if cfg.kernel_size > 1 and MXU_BWD_ENABLED \
+            and mxu_bwd_fits_vmem(cfg, H, W) \
             and _ys_path_ok(cfg, n_steps, H, W):
         # k>1 fastest path: activations AND adjoint as in-kernel MXU
         # matmuls; activations streamed out for direct parameter grads.

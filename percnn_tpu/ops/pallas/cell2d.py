@@ -47,6 +47,18 @@ convs run on the MXU instead of unrolled VPU FMAs).  Kill switch for
 toolchains where the in-kernel dot misbehaves."""
 
 
+def mxu_fwd_fits_vmem(cfg: PiCellConfig, shape: tuple) -> bool:
+    """The MXU forward holds the im2col stack + activation planes in VMEM
+    scratch; large grids must fall back to the few-plane VPU kernel
+    (mirrors `backward2d.pg_fits_vmem` for the k=1 pg path)."""
+    hp, wp = padded_dims(shape[0], shape[1])
+    planes = (2                                 # state scratch
+              + _round_up(n_taps(cfg), 8)       # im2col stack
+              + mxu_rows(cfg)                   # activation planes
+              + 16)                             # double-buffered IO margin
+    return planes * hp * wp * 4 <= 90 * 1024 ** 2
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -467,7 +479,8 @@ def fused_rollout_2d(
     H, W = h0.shape[0], h0.shape[1]
     packed = pack_pi_params_2d(params, cfg)
     state0 = pad_state_2d(h0.astype(jnp.float32))
-    if cfg.kernel_size > 1 and MXU_FWD_ENABLED:
+    if cfg.kernel_size > 1 and MXU_FWD_ENABLED \
+            and mxu_fwd_fits_vmem(cfg, (H, W)):
         wmat = pack_pi_matrix_2d(params, cfg)
         frames = _fused_rollout_padded_mxu(
             packed, wmat, state0, cfg=cfg, n_steps=n_steps, H=H, W=W,

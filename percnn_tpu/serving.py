@@ -123,7 +123,10 @@ def export_model(
             # locked to the platform (TPU generation) they were traced on;
             # plain StableHLO artifacts are portable.  load_model checks this.
             "use_pallas": use_pallas,
-            "platform": jax.default_backend() if use_pallas else None,
+            # device_kind carries the TPU GENERATION (e.g. 'TPU v5e'), not
+            # just the backend name — Mosaic custom calls are generation-locked
+            "platform": (f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+                         if use_pallas else None),
         }
         np.savez(path, blob=np.frombuffer(blob, np.uint8),
                  config=np.asarray(json.dumps(cfg_json)))
@@ -142,11 +145,12 @@ def load_model(path_or_blob: str | bytes) -> tuple[Callable, dict]:
         with np.load(path_or_blob, allow_pickle=False) as z:
             blob = z["blob"].tobytes()
             cfg = json.loads(str(z["config"]))
-    if cfg.get("use_pallas") and cfg.get("platform") != jax.default_backend():
+    here = f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+    if cfg.get("use_pallas") and cfg.get("platform") != here:
         raise RuntimeError(
             f"artifact was exported with use_pallas=True on platform "
             f"{cfg.get('platform')!r} and its Mosaic custom calls cannot run "
-            f"on {jax.default_backend()!r}; re-export with use_pallas=False "
+            f"on {here!r}; re-export with use_pallas=False "
             "for a portable StableHLO artifact")
     exported = jax_export.deserialize(blob)
     return exported.call, cfg

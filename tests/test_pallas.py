@@ -382,3 +382,10 @@ def test_mxu_and_vpu_k5_paths_agree():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         results["mxu"][1], results["vpu"][1])
+
+
+def test_fused_rollout_matches_jnp_k3_cfg():
+    """k=3 exercises the MXU im2col path at a tap count other than 25."""
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=3, dt=0.01, dx=0.1,
+                       diffusion="sigmoid", mu_up=0.05, init_scale=0.1)
+    _parity(cfg, 12, 20, 4, atol=1e-5)

@@ -20,6 +20,7 @@ custom-VJP rollout that is exact (parity-tested against autodiff).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -329,10 +330,11 @@ def _fused_phase1_ys(packed, frames_pad, fbar_pad, ys_flat, *, cfg, n_steps,
     return gins, g0
 
 
-MXU_BWD_ENABLED = True
+MXU_BWD_ENABLED = os.environ.get("PERCNN_DISABLE_MXU", "") != "1"
 """Route the k>1 reverse sweep through the im2col+dot_general kernel
 (branch activations AND the adjoint correlation as MXU matmuls, activations
-streamed out for the phase-2 parameter gradients)."""
+streamed out for the phase-2 parameter gradients).  Env kill switch:
+PERCNN_DISABLE_MXU=1."""
 
 
 def mxu_bwd_fits_vmem(cfg: PiCellConfig, H: int, W: int) -> bool:

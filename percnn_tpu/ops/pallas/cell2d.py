@@ -24,6 +24,7 @@ rcnn_Burgers...py:108-129,161-173); parity-tested against the jnp path.
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import numpy as np
@@ -41,10 +42,10 @@ HALO = 2
 # Single-field state + streamed IO leave most of the chip's VMEM free.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-MXU_FWD_ENABLED = True
+MXU_FWD_ENABLED = os.environ.get("PERCNN_DISABLE_MXU", "") != "1"
 """Route k>1 rollouts through the im2col+dot_general kernel (the branch
 convs run on the MXU instead of unrolled VPU FMAs).  Kill switch for
-toolchains where the in-kernel dot misbehaves."""
+toolchains where the in-kernel dot misbehaves (env: PERCNN_DISABLE_MXU=1)."""
 
 
 def mxu_fwd_fits_vmem(cfg: PiCellConfig, shape: tuple) -> bool:

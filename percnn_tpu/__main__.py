@@ -32,6 +32,13 @@ def main(argv=None):
                     help="fuse K optimizer steps per device call (remote TPU)")
     pr.add_argument("--resume", action="store_true",
                     help="resume from the experiment checkpoint")
+    pr.add_argument("--mesh", default=None,
+                    help="spatial device mesh for multi-chip training, "
+                         "e.g. 2,4 (2D) or 2,2,2 (3D); 'auto' factors all "
+                         "devices over the experiment's spatial axes")
+    pr.add_argument("--parallel", choices=("halo", "gspmd"), default="halo",
+                    help="multi-chip impl: explicit ppermute halo exchange "
+                         "or GSPMD sharding constraints")
 
     pp = sub.add_parser("pipeline", help="Stage-1/2/3 discovery pipeline")
     pp.add_argument("experiment")
@@ -228,9 +235,23 @@ def main(argv=None):
         return 0
 
     if args.cmd == "run":
+        import math
+
         import jax.numpy as jnp
         from percnn_tpu.experiments.runner import run_experiment
 
+        mesh = None
+        if args.mesh:
+            from percnn_tpu.parallel.mesh import make_mesh
+
+            axes = ("x", "y", "z")[: exp.cell.ndim]
+            if args.mesh == "auto":
+                mesh = make_mesh(axes)
+            else:
+                shape = tuple(int(s) for s in args.mesh.replace("x", ",")
+                              .split(",") if s)
+                mesh = make_mesh(axes, shape=shape,
+                                 devices=jax.devices()[: math.prod(shape)])
         res = run_experiment(
             exp, out_dir=args.out, cache_dir=args.cache,
             dtype=jnp.float64 if args.x64 else jnp.float32,
@@ -239,6 +260,8 @@ def main(argv=None):
             steps_per_call=args.steps_per_call,
             resume=args.resume,
             seed=args.seed,
+            mesh=mesh,
+            parallel_impl=args.parallel,
         )
         print(json.dumps({"experiment": exp.name, "rel_l2": res["rel_l2"],
                           "final_loss": res["history"][-1]}))

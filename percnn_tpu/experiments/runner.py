@@ -228,6 +228,67 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto",
     return loss_fn
 
 
+def make_mesh_rollout_fn(prob: Problem, n_steps: int, mesh, *,
+                         impl: str = "halo"):
+    """Spatial-parallel rollout override for ``build_loss_fn`` — multi-chip
+    *training* through the public experiment API (SURVEY §2.3: the
+    TPU-native equivalent of the reference's periodic-pad layer,
+    train_2drd.py:108-109, lives inside the training graph).
+
+    impl:
+      'halo'  — explicit domain decomposition: shard_map over the mesh's
+                spatial axes, 2-cell halo per step via lax.ppermute over
+                ICI (parallel/sharded.py); BPTT crosses the exchange
+                (ppermute's transpose is ppermute — gradient-parity-tested
+                in tests/test_parallel.py).
+      'gspmd' — the jnp model under sharding constraints; XLA partitions
+                the periodic rolls into collective-permutes and the loss
+                reduction into a psum.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from percnn_tpu.parallel.sharded import sharded_rollout_nd
+
+    exp = prob.exp
+    nd = exp.cell.ndim
+    axis_names = tuple(mesh.axis_names)[:nd]
+    if len(axis_names) != nd:
+        raise ValueError(
+            f"mesh {tuple(mesh.axis_names)} has fewer axes than the "
+            f"{nd}D experiment {exp.name!r}")
+    spatial = prob.truth.shape[1:1 + nd]
+    for n, a in zip(spatial, axis_names):
+        if n % mesh.shape[a]:
+            raise ValueError(
+                f"grid axis {a}={n} not divisible by mesh axis "
+                f"{a}={mesh.shape[a]} for experiment {exp.name!r}")
+
+    def initial_state(params):
+        if exp.isg is not None:
+            return isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
+        return prob.h0
+
+    if impl == "halo":
+        def rollout_fn(params):
+            return sharded_rollout_nd(params["cell"], initial_state(params),
+                                      exp.cell, n_steps, mesh,
+                                      axis_names=axis_names)
+    elif impl == "gspmd":
+        state_s = NamedSharding(mesh, P(*axis_names, None))
+        frames_s = NamedSharding(mesh, P(None, *axis_names, None))
+
+        def rollout_fn(params):
+            h0 = jax.lax.with_sharding_constraint(initial_state(params),
+                                                  state_s)
+            step = lambda h: pi_cell_step(params["cell"], h, exp.cell)
+            frames = rollout(step, h0, n_steps, remat=True)
+            return jax.lax.with_sharding_constraint(frames, frames_s)
+    else:
+        raise ValueError(f"unknown parallel impl {impl!r} "
+                         "(expected 'halo' or 'gspmd')")
+    return rollout_fn
+
+
 def _n_meas(n_frames: int, dcfg: DataLossConfig) -> int:
     t = list(range(n_frames))[slice(0, -1 if dcfg.drop_last_frame else None, dcfg.time_stride)]
     return len(t)
@@ -347,6 +408,8 @@ def run_experiment(
     steps_per_call: int | None = None,
     resume: bool = False,
     seed: int = 0,
+    mesh=None,
+    parallel_impl: str = "halo",
 ) -> dict:
     """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval.
 
@@ -355,6 +418,11 @@ def run_experiment(
     the ISG pretrain is skipped on resume.  The checkpoint metadata records
     the curriculum stage index, so a resumed multi-stage run re-enters the
     stage it died in (at its saved iteration) instead of repeating stage 0.
+
+    mesh: a jax.sharding.Mesh over the spatial axes — training runs
+    spatially sharded across its devices (parallel_impl 'halo' for the
+    explicit ppermute halo-exchange path, 'gspmd' for sharding-constraint
+    auto-partitioning; see make_mesh_rollout_fn).
     """
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, f"{exp.name}.metrics.jsonl"),
@@ -392,12 +460,21 @@ def run_experiment(
             log_path=None,
             **({"steps_per_call": steps_per_call} if steps_per_call else {}),
         )
-        loss_fn = build_loss_fn(prob, steps)
+        loss_fn = build_loss_fn(
+            prob, steps,
+            rollout_fn=(make_mesh_rollout_fn(prob, steps, mesh,
+                                             impl=parallel_impl)
+                        if mesh is not None else None))
         params, h = train(loss_fn, params, tcfg, logger=logger,
                           resume=resume and i == start_stage,
                           extra_meta={"stage": i})
         history.extend(h)
 
+    if mesh is not None:
+        # detach from the mesh so single-device inference/eval (and the
+        # Pallas fast path) see ordinary committed-to-default arrays
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), params)
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
     logger.log(n_total, final_rel_l2=metrics["rel_l2"])
     logger.close()

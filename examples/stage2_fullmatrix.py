@@ -10,9 +10,12 @@ noise run at subsample=1.0 and appends to
 runs/round3/queue_results_fullmatrix.jsonl for the report generator.
 
 Run AFTER the queue: PYTHONPATH=/root/repo python examples/stage2_fullmatrix.py
+Optional argv[1] = row subsample (default 1.0); results land in
+queue_results_sub<pct>.jsonl (1.0 keeps the historical _fullmatrix name).
 """
 import json
 import os
+import sys
 
 import jax
 
@@ -31,7 +34,10 @@ from percnn_tpu.pde.terms import gen_library  # noqa: E402
 
 OUT = "runs/round3"
 RESULTS = os.path.join(OUT, "queue_results.jsonl")
-FULL = os.path.join(OUT, "queue_results_fullmatrix.jsonl")
+SUBSAMPLE = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+FULL = os.path.join(
+    OUT, "queue_results_fullmatrix.jsonl" if SUBSAMPLE == 1.0
+    else f"queue_results_sub{int(SUBSAMPLE * 100)}.jsonl")
 
 
 def truth_vec(lib, system, eq):
@@ -65,9 +71,10 @@ def main():
         frames = (slice(0, 100) if exp.system == "lambda_omega"
                   else slice(50, 150))
         R, Ut, Vt, names = build_design_matrix(
-            recon, exp.dt, exp.dx, frames=frames, subsample=1.0, seed=0)
+            recon, exp.dt, exp.dx, frames=frames, subsample=SUBSAMPLE,
+            seed=row.get("seed", 0))
         out = {"tag": tag, "system": name, "noise_pct": row["noise_pct"],
-               "subsample": 1.0}
+               "subsample": SUBSAMPLE}
         for eq, col in (("u", Ut), ("v", Vt)):
             if exp.system == "lambda_omega":
                 w, pareto = pareto_select(STRidge(R, col), maxit=50,

@@ -212,20 +212,24 @@ def pareto_sweep(
     return np.asarray(gammas), np.asarray(ls_loss), np.asarray(l0_count), ws
 
 
-def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray,
-                alpha: float = 3.0) -> int:
+def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray) -> int:
     """Index of the Pareto-front knee of (||w||_0, LS loss).
 
     The reference selects gamma by eye from the front plot (LO Stage-2
     PDE_FIND_u.py:297-335 saves select_gamma_u.png) — the human picks the
     sparsest model after which the loss stops improving dramatically.
-    Automated analog: the densest front points fit measurement/
-    reconstruction noise, so their loss estimates the achievable floor;
-    any denser model that only shaves the loss within a factor `alpha` of
-    that floor is fitting noise.  Pick the SPARSEST Pareto-efficient point
-    with ls <= alpha * min(ls).  (The previous utopia-distance metric
-    preferred an 8-term over the true 6-term λ–Ω equation because the
-    front's long flat tail compressed the loss axis.)"""
+
+    Automated analog (elbow criterion): collapse the Pareto-efficient
+    points to distinct support sizes and pick the sparsity level whose
+    FURTHER sparsification causes the largest relative LS jump — removing
+    a *true* term blows the loss up (the λ–Ω fronts show 14× at the
+    6-term edge), while adding redundant collinear terms only shaves it
+    gently (≤3×).  This is scale-free in the loss floor, which matters:
+    the previous "sparsest within alpha×min(ls)" rule broke as Stage-1
+    reconstructions improved — a near-perfect reconstruction drives the
+    dense-solution floor *down*, so the fixed-alpha band excluded the
+    true 6-term plateau (measured round 3: 0–5%-noise λ–Ω picked 10-term
+    supports while γ∈[0.95, 14.7] all held the exact equation)."""
     ls = np.asarray(ls_loss, float)
     l0 = np.asarray(l0_count, float)
     eff = []
@@ -238,11 +242,20 @@ def pareto_knee(ls_loss: np.ndarray, l0_count: np.ndarray,
             eff.append(i)
     if not eff:
         return int(np.argmin(ls))
-    eff = np.asarray(eff)
-    floor = ls[eff].min()
-    ok = eff[ls[eff] <= alpha * floor]
-    order = np.lexsort((ls[ok], l0[ok]))   # sparsest, then lowest loss
-    return int(ok[order[0]])
+    levels = {}  # support size -> index of its best (lowest-ls) point
+    for i in eff:
+        k = int(l0[i])
+        if k not in levels or ls[i] < ls[levels[k]]:
+            levels[k] = i
+    order = sorted(levels, reverse=True)  # dense -> sparse
+    if len(order) == 1:
+        return levels[order[0]]
+    best, best_ratio = order[0], -1.0
+    for a, b in zip(order[:-1], order[1:]):  # a denser, b sparser
+        ratio = ls[levels[b]] / max(ls[levels[a]], 1e-300)
+        if ratio >= best_ratio:  # ties -> prefer the sparser elbow
+            best, best_ratio = a, ratio
+    return levels[best]
 
 
 def pareto_select(trainer: STRidge, **sweep_kwargs):

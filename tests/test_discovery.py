@@ -142,15 +142,23 @@ def test_pareto_knee_degenerate_inputs():
     # all-zero supports fall back to min loss
     i = pareto_knee(np.array([3.0, 1.0, 2.0]), np.array([0, 0, 0]))
     assert i == 1
-    # flat tail: denser points only shave the loss within the noise
-    # floor x alpha -> the sparsest such point wins (the true model)
+    # flat tail: denser points only shave the loss gently; the elbow sits
+    # where further sparsification explodes (5 -> 3 costs 77x) -> pick 5
     ls = np.array([2.0e-4, 1.3e-4, 1.0e-4, 1e-2])
     l0 = np.array([8, 5, 10, 3])
     assert pareto_knee(ls, l0) == 1
-    # a dramatic (beyond-alpha) improvement is NOT noise: take it
+    # the LARGEST cliff wins: 3 -> 1 costs 1e4 vs 10 -> 3 costing 1e2,
+    # so 3 terms is the knee (sparser AND already near the data's floor)
     ls = np.array([1e-6, 1e-4, 1.0])
     l0 = np.array([10, 3, 1])
-    assert pareto_knee(ls, l0) == 0
+    assert pareto_knee(ls, l0) == 1
+    # single support level: pick it
+    assert pareto_knee(np.array([1.0, 2.0]), np.array([4, 4])) == 0
+    # measured lambda-omega 5%-noise front (round 3): the fixed-alpha rule
+    # picked the 10-term support; the elbow lands on the true 6-term one
+    ls = np.array([8.06e-5, 1.52e-4, 4.13e-4, 6.05e-3])
+    l0 = np.array([48, 10, 6, 1])
+    assert pareto_knee(ls, l0) == 2
 
 
 def test_symbolic_extraction_roundtrip():

@@ -141,6 +141,47 @@ def pi_cell_step(params: dict, h: jnp.ndarray, cfg: PiCellConfig) -> jnp.ndarray
     return h + cfg.dt * pi_rhs(params, h, cfg)
 
 
+def pi_cell_step_valid(params: dict, xp: jnp.ndarray, cfg: PiCellConfig,
+                       *, halo: int = 2) -> jnp.ndarray:
+    """One Euler step from a halo-extended block [*spatial+2*halo, C] to its
+    interior [*spatial, C] — no periodic wrap, all stencils/convs VALID.
+
+    This is the local update under domain decomposition: the halo has been
+    filled by neighbour exchange (parallel/halo.py), so the global periodic
+    BC lives in the device ring, not here.  It is also the exact adjoint
+    template for the fused Pallas local step (ops/pallas/sharded_step2d.py):
+    differentiating this function w.r.t. ``xp`` yields halo cotangents whose
+    transpose rides ppermute's automatic transpose back to the neighbours.
+    """
+    from percnn_tpu.ops.convs import conv_nd
+    from percnn_tpu.ops.stencils import laplacian_valid
+
+    nd = cfg.ndim
+    axes = tuple(range(xp.ndim - 1 - nd, xp.ndim - 1))
+    interior = xp[(...,) + tuple(slice(halo, -halo) for _ in range(nd)) + (slice(None),)]
+    lap = laplacian_valid(xp, cfg.dx, axes=axes)
+    if cfg.kernel_size == 1:
+        nonlin = jnp.concatenate(
+            [pi_block(params["pi"][c], interior, cfg) for c in range(cfg.channels)],
+            axis=-1,
+        )
+    else:
+        r = cfg.kernel_size // 2
+        sl = tuple(slice(halo - r, (r - halo) or None) for _ in range(nd))
+        xk = xp[(...,) + sl + (slice(None),)]
+        outs = []
+        for c in range(cfg.channels):
+            br = params["pi"][c]
+            prod = None
+            for i in range(cfg.n_branches):
+                y = conv_nd(xk, br[f"w{i}"], br[f"b{i}"], padding="VALID")
+                prod = y if prod is None else prod * y
+            outs.append(jnp.einsum("...i,io->...o", prod, br["w_out"]) + br["b_out"])
+        nonlin = jnp.concatenate(outs, axis=-1)
+    diff = effective_diffusion(params, cfg)
+    return interior + cfg.dt * (diff * lap + nonlin)
+
+
 # --------------------------------------------------------------------------
 # Stage-3 symbolic cell: explicit PDE with learnable scalar coefficients.
 # --------------------------------------------------------------------------

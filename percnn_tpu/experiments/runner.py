@@ -58,14 +58,19 @@ def make_dataset(exp: ExperimentConfig, *, n_frames: int | None = None,
             f"_dt{exp.dt}_dx{round(exp.dx, 8)}_s{exp.seed}_v2.npz",
         )
         if os.path.exists(cache):
-            return np.load(cache)["truth"]
+            try:
+                return np.load(cache)["truth"]
+            except Exception:  # half-written cache (killed mid-save): rebuild
+                os.remove(cache)
     h0 = default_ic(exp.system, n, seed=exp.seed)
     if warmup:
         h0 = simulate(exp.system, h0, warmup, exp.dt, exp.dx, oversample=oversample)[-1]
     truth = simulate(exp.system, h0, n_frames, exp.dt, exp.dx, oversample=oversample)
     if cache:
         os.makedirs(cache_dir, exist_ok=True)
-        np.savez_compressed(cache, truth=truth)
+        tmp = cache + f".tmp{os.getpid()}.npz"  # .npz: savez won't re-suffix
+        np.savez_compressed(tmp, truth=truth)
+        os.replace(tmp, cache)  # atomic: readers never see a partial file
     return truth
 
 

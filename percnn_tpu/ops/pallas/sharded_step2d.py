@@ -69,7 +69,7 @@ def _pallas_step(packed, xp_cf, *, cfg, h, w, interpret):
     return out
 
 
-def pallas_step_haloed(
+def _pallas_step_haloed_impl(
     params: dict,
     xp: jnp.ndarray,
     cfg: PiCellConfig,
@@ -77,7 +77,6 @@ def pallas_step_haloed(
     packed=None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """One Euler step on a haloed local block [h+4, w+4, 2] -> [h, w, 2]."""
     _check_fusable(cfg)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -89,3 +88,34 @@ def pallas_step_haloed(
     xp_cf = jnp.pad(xp_cf, ((0, 0), (0, hp - xp.shape[0]), (0, wp - xp.shape[1])))
     out = _pallas_step(packed, xp_cf, cfg=cfg, h=h, w=w, interpret=interpret)
     return jnp.moveaxis(out[:, 0:h, 0:w], 0, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_step_haloed(params: dict, xp: jnp.ndarray,
+                       cfg: PiCellConfig) -> jnp.ndarray:
+    """One Euler step on a haloed local block [h+4, w+4, 2] -> [h, w, 2].
+
+    Trainable: the forward is the fused Pallas kernel; the VJP is the exact
+    adjoint of the jnp valid-region step (core.cell.pi_cell_step_valid —
+    same math, parity-tested), producing halo cotangents on ``xp`` whose
+    transport back to neighbour devices is ppermute's automatic transpose
+    in parallel/halo.py.  This is what makes
+    `sharded_rollout_nd(impl='pallas')` usable inside a training graph
+    (SURVEY §2.3: the periodic-pad layer lives in training,
+    train_2drd.py:108-109)."""
+    return _pallas_step_haloed_impl(params, xp, cfg)
+
+
+def _step_fwd(params, xp, cfg):
+    return _pallas_step_haloed_impl(params, xp, cfg), (params, xp)
+
+
+def _step_bwd(cfg, res, g):
+    from percnn_tpu.core.cell import pi_cell_step_valid
+
+    params, xp = res
+    _, vjp = jax.vjp(lambda p, x: pi_cell_step_valid(p, x, cfg), params, xp)
+    return vjp(g)
+
+
+pallas_step_haloed.defvjp(_step_fwd, _step_bwd)

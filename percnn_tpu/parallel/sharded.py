@@ -27,10 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from percnn_tpu.core.cell import PiCellConfig, effective_diffusion, pi_block
+from percnn_tpu.core.cell import PiCellConfig, pi_cell_step_valid
 from percnn_tpu.core.rollout import rollout
-from percnn_tpu.ops.convs import conv_nd
-from percnn_tpu.ops.stencils import laplacian_valid
 from percnn_tpu.parallel.halo import halo_exchange
 
 try:  # jax >= 0.7 exposes shard_map at top level
@@ -60,9 +58,10 @@ def pi_cell_step_haloed(
     exchange.  Works for 1x1 Pi cells (pointwise) and 5x5 Pi cells (the
     exchanged corners make the haloed block valid for full kernels).
 
-    impl='pallas' (2D, k=1): halo exchange over ICI then the fused local
-    Pallas step (ops/pallas/sharded_step2d.py) — the multi-chip production
-    path."""
+    impl='pallas' (2D): halo exchange over ICI then the fused local Pallas
+    step (ops/pallas/sharded_step2d.py) — the multi-chip production path.
+    Trainable: the Pallas step carries a custom VJP whose adjoint is the
+    exact jnp valid-region step, so BPTT crosses the halo exchange."""
     nd = cfg.ndim
     axes = tuple(range(nd))
     xp = halo_exchange(block, halo=2, axis_names=axis_names,
@@ -71,25 +70,7 @@ def pi_cell_step_haloed(
         from percnn_tpu.ops.pallas.sharded_step2d import pallas_step_haloed
 
         return pallas_step_haloed(params, xp, cfg)
-    lap = laplacian_valid(xp, cfg.dx, axes=axes)
-    if cfg.kernel_size == 1:
-        nonlin = jnp.concatenate(
-            [pi_block(params["pi"][c], block, cfg) for c in range(cfg.channels)],
-            axis=-1,
-        )
-    else:
-        # 5x5 branches consume the halo via VALID conv on the haloed block
-        outs = []
-        for c in range(cfg.channels):
-            br = params["pi"][c]
-            prod = None
-            for i in range(cfg.n_branches):
-                y = conv_nd(xp, br[f"w{i}"], br[f"b{i}"], padding="VALID")
-                prod = y if prod is None else prod * y
-            outs.append(jnp.einsum("...i,io->...o", prod, br["w_out"]) + br["b_out"])
-        nonlin = jnp.concatenate(outs, axis=-1)
-    diff = effective_diffusion(params, cfg)
-    return block + cfg.dt * (diff * lap + nonlin)
+    return pi_cell_step_valid(params, xp, cfg)
 
 
 def sharded_rollout_nd(

@@ -150,8 +150,14 @@ def test_sharded_rollout_pallas_impl_matches(kernel_size):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("kernel_size", [1, 5])
-def test_sharded_rollout_grad_matches_2d(kernel_size):
+@pytest.mark.parametrize("kernel_size,impl", [(1, "jnp"), (5, "jnp"),
+                                              (1, "pallas"), (5, "pallas")])
+def test_sharded_rollout_grad_matches_2d(kernel_size, impl):
+    """BPTT through the ppermute halo path == single-device autodiff.
+
+    impl='pallas' exercises the custom-VJP fused local step
+    (ops/pallas/sharded_step2d.py): Pallas forward, jnp valid-region
+    adjoint — the multi-chip *training* production path."""
     cfg = _cfg(kernel_size)
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 32, 2), jnp.float32)
@@ -163,7 +169,7 @@ def test_sharded_rollout_grad_matches_2d(kernel_size):
         return jnp.mean((fr - tgt) ** 2)
 
     def loss_halo(p, h):
-        fr = sharded_rollout_nd(p, h, cfg, 5, mesh)
+        fr = sharded_rollout_nd(p, h, cfg, 5, mesh, impl=impl)
         return jnp.mean((fr - tgt) ** 2)
 
     (l1, g1) = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1)))(params, h0)

@@ -269,3 +269,22 @@ def test_load_checkpoint_tree_optimizer_state(tmp_path):
     flat = jax.tree_util.tree_leaves(tree["opt_state"])
     assert len(flat) >= 2  # at least mu/nu (+ counts)
     assert meta["iteration"] == 3
+
+
+def test_make_dataset_cache_atomic_and_self_healing(tmp_path):
+    """A half-written ground-truth cache (process killed mid-save) must be
+    rebuilt, not crash the run (runner.make_dataset)."""
+    exp = dataclasses.replace(FORWARD_SIM_LO, grid=16, train_steps=4,
+                              infer_steps=4)
+    cache_dir = str(tmp_path / "cache")
+    truth = R.make_dataset(exp, warmup=0, cache_dir=cache_dir)
+    import os
+    (cached,) = [f for f in os.listdir(cache_dir) if f.endswith(".npz")]
+    path = os.path.join(cache_dir, cached)
+    with open(path, "wb") as f:
+        f.write(b"not a zip file")  # simulate mid-write kill
+    rebuilt = R.make_dataset(exp, warmup=0, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(rebuilt), np.asarray(truth))
+    # and the rebuilt cache is valid again
+    again = R.make_dataset(exp, warmup=0, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(again), np.asarray(truth))

@@ -79,14 +79,14 @@ def gs3d_seed(seed):
     return {"seed": seed, "rel_l2": res["rel_l2"]}
 
 
-def noise_run(name, pct, stage1_iters=8000):
+def noise_run(name, pct, stage1_iters=8000, tag_suffix=""):
     from percnn_tpu.experiments import EXPERIMENTS
     from percnn_tpu.experiments.pipeline import run_discovery_pipeline
 
     exp = EXPERIMENTS[name]
     exp = dataclasses.replace(exp, noise_pct=pct)
     res = run_discovery_pipeline(
-        exp, out_dir=f"{OUT}/noise_{name}_{int(pct * 100)}",
+        exp, out_dir=f"{OUT}/noise_{name}_{int(pct * 100)}{tag_suffix}",
         cache_dir="data_cache", stage1_iters=stage1_iters,
         steps_per_call=20)
     out = {"system": name, "noise_pct": pct,

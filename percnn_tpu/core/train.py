@@ -108,10 +108,17 @@ def train(
     resume: bool = False,
     logger: MetricsLogger | None = None,
     extra_meta: dict | None = None,
+    loss_args: tuple = (),
 ) -> tuple:
     """Run the training loop.
 
-    loss_fn(params) -> (total_loss, aux_dict of scalar metrics).
+    loss_fn(params, *loss_args) -> (total_loss, aux_dict of scalar metrics).
+    loss_args: device-resident data pytrees passed as jit ARGUMENTS instead
+    of being closed over.  Arrays captured in the loss closure are baked
+    into the compiled step as constants, so retraining on new data (a
+    different noise draw, another dataset) recompiles from scratch; passing
+    the data here keeps the HLO data-independent and the persistent
+    compilation cache hits across runs.
     extra_meta: caller bookkeeping merged into every checkpoint's metadata
     (e.g. the curriculum stage index, so resume re-enters the right stage).
     Returns (best-or-final params, loss_history list).
@@ -130,7 +137,7 @@ def train(
         state.load_meta(meta)
 
     @partial(jax.jit, static_argnames=("n_sub",))
-    def chunk(params, opt_state, it0, lr_scale, n_sub):
+    def chunk(params, opt_state, it0, lr_scale, n_sub, *largs):
         """n_sub fused optimizer steps; StepLR staircase evaluated in-graph."""
 
         def body(carry, i):
@@ -138,7 +145,8 @@ def train(
             it = it0 + i
             lr = cfg.lr * jnp.power(cfg.lr_gamma, (it // cfg.lr_step)
                                     .astype(jnp.float32)) * lr_scale
-            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, *largs)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
@@ -171,7 +179,7 @@ def train(
             n_sub = min(cfg.steps_per_call, cfg.n_iters - it)
             new_params, new_opt, totals, auxs, lrs = chunk(
                 state.params, state.opt_state, jnp.int32(it),
-                jnp.float32(state.lr_scale), n_sub,
+                jnp.float32(state.lr_scale), n_sub, *loss_args,
             )
             totals = np.asarray(totals)
             auxs = {k: np.asarray(v) for k, v in auxs.items()}

@@ -110,8 +110,11 @@ def init_model(exp: ExperimentConfig, key, dtype=jnp.float32) -> dict:
 
 
 def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
-                    bptt: str = "auto"):
+                    bptt: str = "auto", ic_low=None, h0=None):
     """ISG (if present) then rollout; returns frames [n_steps+1, *spatial, 2].
+
+    ic_low/h0 override the Problem's device arrays — used when the data is
+    passed through jit as an argument instead of a baked constant.
 
     bptt:
       'auto'      — where the Pallas kernels apply (f32 on TPU; 2D any
@@ -128,8 +131,9 @@ def forward_rollout(params: dict, prob: Problem, n_steps: int, *, remat=True,
     """
     exp = prob.exp
     if exp.isg is not None:
-        h0 = isg_apply(params["isg"], prob.ic_low, exp.isg)[0]
-    else:
+        ic_low = prob.ic_low if ic_low is None else ic_low
+        h0 = isg_apply(params["isg"], ic_low, exp.isg)[0]
+    elif h0 is None:
         h0 = prob.h0
     cell = exp.cell
     if bptt == "auto":
@@ -183,13 +187,31 @@ def _cell_step_for(cell_cfg):
     return lambda p, h: pi_cell_step(p, h, cell_cfg)
 
 
+def problem_data(prob: Problem) -> dict:
+    """The Problem's device arrays as a pytree suitable for passing through
+    jit as an ARGUMENT (train(..., loss_args=(problem_data(prob),))).
+    Keeps the compiled training step independent of the dataset / noise
+    draw, so the persistent compilation cache hits across runs that share
+    an experiment shape (each noise level of the 0-30% matrix would
+    otherwise recompile a fresh ~10-min step with the measurements baked
+    in as HLO constants)."""
+    return {k: v for k, v in (("h0", prob.h0), ("ic_low", prob.ic_low),
+                              ("meas", prob.measurement)) if v is not None}
+
+
 def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto",
                   rollout_fn=None):
     """Composite loss per the experiment's weights; aux carries every
     component plus 'val' (holdout data MSE) and 'phy' (residual metric).
 
+    The returned loss_fn(params, data=None) optionally takes the
+    ``problem_data(prob)`` pytree as a jit argument; with data=None the
+    Problem's arrays are closed over (baked into the graph as constants —
+    fine for one-off runs, recompiles per dataset).
+
     rollout_fn(params) -> frames overrides forward_rollout (used by the
-    ensemble trainer to inject the member-batched fused rollout)."""
+    ensemble trainer to inject the member-batched fused rollout and by the
+    mesh paths; those close over their own data)."""
     exp = prob.exp
     w = exp.loss_weights
     system = PDE_SYSTEMS[exp.system]
@@ -200,15 +222,19 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto",
             f"experiment {exp.name!r} weights the data loss but the problem "
             "has no measurement (no data config / ISG-free setup)")
 
-    def loss_fn(params):
+    def loss_fn(params, data=None):
+        d = data or {}
+        ic_low = d.get("ic_low", prob.ic_low)
         frames = (rollout_fn(params) if rollout_fn is not None
-                  else forward_rollout(params, prob, n_steps, bptt=bptt))
+                  else forward_rollout(params, prob, n_steps, bptt=bptt,
+                                       ic_low=d.get("ic_low"),
+                                       h0=d.get("h0")))
         total = jnp.zeros((), frames.dtype)
         aux = {}
         if prob.measurement is not None:
             # measurement covers train_steps+1 frames; during curriculum the
             # rollout is shorter — subsample measurement to match.
-            meas = prob.measurement
+            meas = d.get("meas", prob.measurement)
             tr, va = data_loss(frames, meas[: _n_meas(frames.shape[0], exp.data)],
                                exp.data, nd)
             aux["data"] = tr
@@ -216,8 +242,8 @@ def build_loss_fn(prob: Problem, n_steps: int, *, bptt: str = "auto",
             if "data" in w:
                 total = total + w["data"] * tr
         if exp.isg is not None:
-            out = isg_apply(params["isg"], prob.ic_low, exp.isg)
-            icl = ic_loss(out, prob.ic_low, nd, exp.interp_method,
+            out = isg_apply(params["isg"], ic_low, exp.isg)
+            icl = ic_loss(out, ic_low, nd, exp.interp_method,
                           align_corners=exp.interp_align_corners,
                           periodic_extend=exp.interp_periodic_extend)
             aux["ic"] = icl
@@ -470,9 +496,14 @@ def run_experiment(
             rollout_fn=(make_mesh_rollout_fn(prob, steps, mesh,
                                              impl=parallel_impl)
                         if mesh is not None else None))
+        # single-device path: measurements/ICs ride through jit as
+        # arguments so the compiled step is dataset-independent (cache
+        # hits across noise levels); the mesh rollout closes over its
+        # own sharded data and keeps the constant-based path.
+        largs = (problem_data(prob),) if mesh is None else ()
         params, h = train(loss_fn, params, tcfg, logger=logger,
                           resume=resume and i == start_stage,
-                          extra_meta={"stage": i})
+                          extra_meta={"stage": i}, loss_args=largs)
         history.extend(h)
 
     if mesh is not None:

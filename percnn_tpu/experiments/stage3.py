@@ -164,12 +164,16 @@ def run_stage3(
     params["isg"] = pretrain_isg(isg_loss, params["isg"],
                                  n_iters=isg_pretrain_iters, logger=logger)
 
-    def loss_fn(params):
-        h0 = isg_apply(params["isg"], ic_low, base.isg)[0]
+    def loss_fn(params, data):
+        # measurement/IC passed as jit arguments (not baked constants) so
+        # the compiled step caches across noise levels — see
+        # core/train.py: train(loss_args=).
+        d_ic, d_meas = data["ic_low"], data["meas"]
+        h0 = isg_apply(params["isg"], d_ic, base.isg)[0]
         frames = rollout(lambda h: symbolic_cell_step(params["cell"], h, cfg.cell),
                          h0, base.train_steps)
-        tr, va = data_loss(frames, meas, base.data, nd)
-        icl = ic_loss(isg_apply(params["isg"], ic_low, base.isg), ic_low, nd,
+        tr, va = data_loss(frames, d_meas, base.data, nd)
+        icl = ic_loss(isg_apply(params["isg"], d_ic, base.isg), d_ic, nd,
                       base.interp_method,
                       align_corners=base.interp_align_corners,
                       periodic_extend=base.interp_periodic_extend)
@@ -182,7 +186,8 @@ def run_stage3(
         n_iters=n_iters_override if n_iters_override is not None else cfg.train.n_iters,
         ckpt_path=os.path.join(out_dir, "stage3.ckpt.npz"),
     )
-    params, history = train(loss_fn, params, tcfg, logger=logger)
+    params, history = train(loss_fn, params, tcfg, logger=logger,
+                            loss_args=({"ic_low": ic_low, "meas": meas},))
 
     h0 = isg_apply(params["isg"], ic_low, base.isg)[0]
     frames = np.asarray(rollout(

@@ -47,7 +47,7 @@ def main(path="runs/round3/queue_results.jsonl"):
     for system in ("burgers_stage1", "lo_stage1"):
         print(f"\n### {system}\n")
         print("| noise | eq | ours: coef rel-L2 / precision / recall | "
-              "ours lap coef | ref lap coef | ref spurious count | "
+              "ours lap coef | ref lap coef | spurious ours vs ref | "
               "stage-1 rel-L2 | stage-3 rel-L2 |")
         print("|---|---|---|---|---|---|---|---|")
         for pct in (0, 5, 10, 20, 30):
@@ -61,15 +61,41 @@ def main(path="runs/round3/queue_results.jsonl"):
                 terms = dict(r.get(f"s2_{eq}_terms", []))
                 lap = next((v for k, v in terms.items() if "lap" in k), None)
                 lap_s = f"{lap:.4g}" if lap is not None else "—"
+                prec = r.get(f"s2_{eq}_precision", float("nan"))
+                rec = r.get(f"s2_{eq}_recall", float("nan"))
+                n_true = 3 if system == "burgers_stage1" else 6
+                spur = (len(terms) - round(rec * n_true)
+                        if terms and rec == rec else "—")
                 m = (f"{r.get(f's2_{eq}_rel_l2', float('nan')):.3g} / "
-                     f"{r.get(f's2_{eq}_precision', float('nan')):.2f} / "
-                     f"{r.get(f's2_{eq}_recall', float('nan')):.2f}")
+                     f"{prec:.2f} / {rec:.2f}")
                 s1 = r.get("stage1_rel_l2")
                 s3 = r.get("stage3_rel_l2")
                 print(f"| {pct}% | {eq} | {m} | {lap_s} | {ref['lap']:.4g} | "
-                      f"{ref['spurious']} | "
+                      f"{spur} vs {ref['spurious']} | "
                       f"{s1 if s1 is None else f'{s1:.3g}'} | "
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
+
+    seeds = {}
+    for line in open(path):
+        r = json.loads(line)
+        if r.get("tag", "").startswith("gs3d_seed") and r.get("ok"):
+            seeds[r["seed"]] = r
+    if seeds:
+        print("\n### GS3D seed robustness (48^3, 12000 iters, spike "
+              "watchdog + best-by-metric)\n")
+        print("| seed | rel-L2 | minutes | note |")
+        print("|---|---|---|---|")
+        vals = []
+        for s in sorted(seeds):
+            r = seeds[s]
+            vals.append(r["rel_l2"])
+            note = "restored (queue v1)" if r.get("restored") else ""
+            print(f"| {s} | {r['rel_l2']:.4f} | {r['minutes']:.0f} | {note} |")
+        import statistics
+        print(f"\nmean rel-L2 {statistics.mean(vals):.4f}, max "
+              f"{max(vals):.4f} over {len(vals)} seeds "
+              "(reference anchors its 3D claims on single runs of this "
+              "NaN-prone workload, train_3drd.py:427-434).")
 
 
 if __name__ == "__main__":

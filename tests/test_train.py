@@ -288,3 +288,62 @@ def test_make_dataset_cache_atomic_and_self_healing(tmp_path):
     # and the rebuilt cache is valid again
     again = R.make_dataset(exp, warmup=0, cache_dir=cache_dir)
     np.testing.assert_allclose(np.asarray(again), np.asarray(truth))
+
+
+def test_loss_args_matches_closure_constants(tmp_path):
+    """Training data passed through jit as an argument (train(loss_args=))
+    must give the same losses as the closure-constant path, and the jitted
+    loss must be dataset-independent: two different noise draws of the
+    same experiment shape reuse ONE compiled step (the 0-30% noise matrix
+    would otherwise recompile per level)."""
+    exp = dataclasses.replace(
+        GS2D_RECON, grid=16, train_steps=8, infer_steps=8, curriculum=(),
+        isg_pretrain_iters=0,
+        cell=dataclasses.replace(GS2D_RECON.cell, hidden=4),
+        data=dataclasses.replace(GS2D_RECON.data, time_stride=4,
+                                 space_stride=4),
+        train=dataclasses.replace(GS2D_RECON.train, n_iters=4,
+                                  steps_per_call=2, log_every=100),
+    )
+    rng = np.random.default_rng(0)
+    truth = (rng.standard_normal((9, 16, 16, 2)) * 0.1 + 0.3).astype(
+        np.float32)
+    prob = R.setup_problem(exp, truth)
+    params = R.init_model(exp, jax.random.PRNGKey(0))
+    lf = R.build_loss_fn(prob, 8)
+
+    t_const, aux_const = lf(params)
+    t_args, aux_args = lf(params, R.problem_data(prob))
+    assert float(t_const) == float(t_args)
+    for k in aux_const:
+        assert float(aux_const[k]) == float(aux_args[k]), k
+
+    # one compiled step serves two datasets
+    prob2 = R.setup_problem(dataclasses.replace(exp, noise_pct=0.3), truth)
+    jlf = jax.jit(lf)
+    jlf(params, R.problem_data(prob))
+    n_compiles = jlf._cache_size()
+    jlf(params, R.problem_data(prob2))
+    assert jlf._cache_size() == n_compiles == 1
+
+    # full loop: loss_args path tracks the constant path to f32 roundoff
+    # (bitwise can differ -- XLA folds constants differently)
+    tcfg = exp.train
+    _, h_const = train(lf, params, tcfg)
+    _, h_args = train(lf, params, tcfg, loss_args=(R.problem_data(prob),))
+    np.testing.assert_allclose(h_const, h_args, rtol=1e-5)
+
+
+def test_run_experiment_uses_loss_args(tmp_path):
+    """The runner's single-device path trains through loss_args; end-to-end
+    result stays healthy (regression guard for the wiring)."""
+    exp = dataclasses.replace(FORWARD_SIM_LO, grid=16, train_steps=8,
+                              infer_steps=8,
+                              train=dataclasses.replace(
+                                  FORWARD_SIM_LO.train, n_iters=30,
+                                  log_every=100))
+    res = R.run_experiment(exp, out_dir=str(tmp_path), cache_dir=None,
+                           dtype=jnp.float64, warmup=20, seed=0)
+    hist = res["history"]
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]

@@ -166,6 +166,7 @@ def train(
     spike_streak = 0
     watch_ema = None
     best_metric = math.inf
+    last_best_write = -10 ** 9
 
     def save(path_suffix=""):
         if cfg.ckpt_path:
@@ -247,12 +248,24 @@ def train(
                 best_params = state.params
                 save(".best")
             if cfg.best_key is not None:
+                if cfg.best_key != "loss" and cfg.best_key not in auxs:
+                    raise KeyError(
+                        f"best_key={cfg.best_key!r} is not a loss aux "
+                        f"(have {sorted(auxs)}); the returned params would "
+                        "silently stay at their initialization")
                 bm = float(totals[-1]) if cfg.best_key == "loss" \
-                    else float(auxs.get(cfg.best_key, [np.nan])[-1])
+                    else float(auxs[cfg.best_key][-1])
                 if not math.isnan(bm) and bm < best_metric:
                     best_metric = bm
                     best_params = state.params
-                    save(".best")
+                    # throttle .best disk writes: the total loss improves on
+                    # most chunks, and a full npz write per chunk serializes
+                    # against the training loop; in-memory best_params (what
+                    # train() returns) is still exact
+                    if (state.iteration - last_best_write >= cfg.ckpt_every
+                            or state.iteration >= cfg.n_iters):
+                        save(".best")
+                        last_best_write = state.iteration
 
             if cfg.ckpt_path and (state.iteration % cfg.ckpt_every < n_sub
                                   or state.iteration >= cfg.n_iters):

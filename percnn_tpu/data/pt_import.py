@@ -432,6 +432,14 @@ def map_adam_moments(raw: dict, **map_kwargs) -> dict | None:
     for g in opt.get("param_groups") or []:
         pg_ids.extend(g.get("params") or [])
     id_to_pos = {int(pid): j for j, pid in enumerate(pg_ids)}
+    if pg_ids and len(pg_ids) != len(names):
+        # registered buffers live in the state dict but not in
+        # model.parameters(); they shift every later position, and a
+        # same-shaped buffer would dodge the per-tensor shape check below
+        raise ValueError(
+            f"checkpoint has {len(names)} unique state-dict tensors but its "
+            f"optimizer tracks {len(pg_ids)} parameters; position-based "
+            "moment assignment is ambiguous (registered buffers?)")
     mu_sd = {n: np.zeros_like(np.asarray(v)) for n, v in sd.items()}
     nu_sd = {n: np.zeros_like(np.asarray(v)) for n, v in sd.items()}
     count = 0

@@ -650,9 +650,11 @@ def _forward(params, h0, cfg, n_steps):
     packed = pack_pi_params_2d(params, cfg)
     h0_pad = pad_state_2d(h0.astype(jnp.float32))
     from percnn_tpu.ops.pallas.cell2d import (
-        MXU_FWD_ENABLED, _fused_rollout_padded_mxu, pack_pi_matrix_2d,
+        MXU_FWD_ENABLED, _fused_rollout_padded_mxu, mxu_fwd_fits_vmem,
+        pack_pi_matrix_2d,
     )
-    if cfg.kernel_size > 1 and MXU_FWD_ENABLED:
+    if cfg.kernel_size > 1 and MXU_FWD_ENABLED \
+            and mxu_fwd_fits_vmem(cfg, (H, W)):
         wmat = pack_pi_matrix_2d(params, cfg)
         frames_pad = _fused_rollout_padded_mxu(
             packed, wmat, h0_pad, cfg=cfg, n_steps=n_steps, H=H, W=W,
@@ -686,6 +688,19 @@ def _ys_path_ok(cfg: PiCellConfig, n_steps: int, H: int, W: int) -> bool:
         <= 8 * 1024 ** 3)
 
 
+def ys_bwd_fits_vmem(cfg: PiCellConfig, H: int, W: int) -> bool:
+    """The hoisted-ys reverse sweep streams a [G, H, W] activation block
+    per step alongside the frame/cotangent blocks; with double-buffered
+    pipelining that is ~2*(G+8) resident planes.  Larger grids fall back
+    to the round-2 in-kernel-recompute kernel (`_fused_phase1`)."""
+    from percnn_tpu.ops.pallas.cell2d import padded_dims
+
+    hp, wp = padded_dims(H, W)
+    G = 2 * cfg.n_branches * cfg.hidden
+    planes = 2 * (G + 8) + 8
+    return planes * hp * wp * 4 <= 90 * 1024 ** 2
+
+
 def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
     params, packed, h0_pad, frames_pad = residuals
     H, W = frames_bar.shape[1], frames_bar.shape[2]
@@ -717,7 +732,8 @@ def _fused_tp_bwd(cfg, n_steps, pgrad_chunk, residuals, frames_bar):
         )
         g_ins = unpad_frames_2d(gins_pad, H, W)
         params_bar = _param_grads_stream(params, h_prev, g_ins, ys_stream, cfg)
-    elif cfg.kernel_size > 1 and _ys_path_ok(cfg, n_steps, H, W):
+    elif cfg.kernel_size > 1 and _ys_path_ok(cfg, n_steps, H, W) \
+            and ys_bwd_fits_vmem(cfg, H, W):
         # k>1 fast path: branch activations hoisted out of the sequential
         # sweep (time-batched MXU convs), parameter gradients computed
         # directly from the streamed cotangents — no cell re-execution.

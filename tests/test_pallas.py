@@ -389,3 +389,49 @@ def test_fused_rollout_matches_jnp_k3_cfg():
     cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=3, dt=0.01, dx=0.1,
                        diffusion="sigmoid", mu_up=0.05, init_scale=0.1)
     _parity(cfg, 12, 20, 4, atol=1e-5)
+
+
+def test_vmem_guards_reject_large_grids():
+    """Every k>1 kernel-dispatch guard must turn itself off on grids whose
+    scratch exceeds VMEM (the paths then fall back to the few-plane VPU /
+    in-kernel-recompute kernels instead of failing Mosaic compilation)."""
+    from percnn_tpu.core.cell import PiCellConfig
+    from percnn_tpu.ops.pallas.backward2d import (
+        mxu_bwd_fits_vmem, ys_bwd_fits_vmem,
+    )
+    from percnn_tpu.ops.pallas.cell2d import mxu_fwd_fits_vmem
+
+    cfg = PiCellConfig(ndim=2, hidden=16, kernel_size=5, dt=1e-4, dx=0.01,
+                       diffusion="sigmoid", mu_up=0.01)
+    # the reference Stage-1 workload (100^2) must stay on the fast paths
+    assert mxu_fwd_fits_vmem(cfg, (100, 100))
+    assert mxu_bwd_fits_vmem(cfg, 100, 100)
+    assert ys_bwd_fits_vmem(cfg, 100, 100)
+    # a ~800^2 grid exceeds the 90MB scratch budget on every path
+    assert not mxu_fwd_fits_vmem(cfg, (800, 800))
+    assert not mxu_bwd_fits_vmem(cfg, 800, 800)
+    assert not ys_bwd_fits_vmem(cfg, 800, 800)
+
+
+def test_trainable_forward_vpu_fallback_when_guard_rejects(monkeypatch):
+    """When the VMEM guard rejects the MXU forward, fused_rollout_tp_2d must
+    fall back to the few-plane VPU kernel and still match the jnp cell
+    (a large grid must degrade, not fail Mosaic compilation)."""
+    import jax
+
+    from percnn_tpu.core.cell import PiCellConfig, init_pi_cell, pi_cell_step
+    from percnn_tpu.ops.pallas import backward2d as B
+    from percnn_tpu.ops.pallas import cell2d
+
+    monkeypatch.setattr(cell2d, "mxu_fwd_fits_vmem", lambda cfg, shape: False)
+    cfg = PiCellConfig(ndim=2, hidden=4, kernel_size=5, dt=1e-4, dx=0.01,
+                       diffusion="sigmoid", mu_up=0.01, init_scale=0.1,
+                       init="fanin")
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (24, 24, 2))
+    frames = B.fused_rollout_tp_2d(params, h0, cfg, 3)
+    h = h0.astype(jnp.float32)
+    for _ in range(3):
+        h = pi_cell_step(params, h, cfg)
+    np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(h),
+                               rtol=2e-4, atol=2e-5)

@@ -347,3 +347,16 @@ def test_run_experiment_uses_loss_args(tmp_path):
     hist = res["history"]
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_best_key_typo_raises():
+    """A best_key absent from the loss aux raises instead of silently
+    returning the initial params (the NaN-forever footgun)."""
+    import pytest
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2), {"data": jnp.sum(p["w"])}
+
+    cfg = TrainConfig(n_iters=10, lr=0.01, best_key="dta", ckpt_path=None)
+    with pytest.raises(KeyError, match="dta"):
+        train(loss_fn, {"w": jnp.ones(2)}, cfg)

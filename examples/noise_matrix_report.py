@@ -55,8 +55,8 @@ def main(path="runs/round3/queue_results.jsonl"):
             for eq in ("u", "v"):
                 ref = REF[(system, eq)][pct]
                 if r is None:
-                    print(f"| {pct}% | {eq} | (not run) | | {ref['lap']:.4g} "
-                          f"| {ref['spurious']} | | |")
+                    print(f"| {pct}% | {eq} | (not run) | — | {ref['lap']:.4g} "
+                          f"| — vs {ref['spurious']} | — | — |")
                     continue
                 terms = dict(r.get(f"s2_{eq}_terms", []))
                 lap = next((v for k, v in terms.items() if "lap" in k), None)

@@ -58,6 +58,9 @@ def main(argv=None):
     pp.add_argument("--stage2-frames", default=None,
                     help="Stage-2 regression window as START:STOP frames "
                          "(reference uses 50:150, PDE_FIND_u.py:220-222)")
+    pp.add_argument("--stage2-coefs", default=None,
+                    help="path to a saved *.stage2_coefs.npz: skip Stage-1/2 "
+                         "and fine-tune (Stage-3) from that support")
     pp.add_argument("--stage2-subsample", type=float, default=0.2,
                     help="Stage-2 design-matrix row subsample fraction "
                          "(reference: 0.2, PDE_FIND_u.py:246-247)")
@@ -296,21 +299,30 @@ def main(argv=None):
         if args.stage2_frames:
             a, b = args.stage2_frames.split(":")
             frames = slice(int(a), int(b))
-        res = run_discovery_pipeline(
-            exp, out_dir=args.out, cache_dir=args.cache,
-            stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
-            stage2_frames=frames, stage2_subsample=args.stage2_subsample,
-            steps_per_call=args.steps_per_call,
-            stage1_recon=args.stage1_recon,
-            seed=args.seed,
-        )
+        if args.stage2_coefs:
+            from percnn_tpu.experiments.pipeline import run_stage3_from_coefs
+
+            res = run_stage3_from_coefs(
+                exp, args.stage2_coefs, out_dir=args.out,
+                cache_dir=args.cache, stage3_iters=args.stage3_iters,
+                seed=args.seed,
+            )
+        else:
+            res = run_discovery_pipeline(
+                exp, out_dir=args.out, cache_dir=args.cache,
+                stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
+                stage2_frames=frames, stage2_subsample=args.stage2_subsample,
+                steps_per_call=args.steps_per_call,
+                stage1_recon=args.stage1_recon,
+                seed=args.seed,
+            )
         ident_u = {n: float(c) for n, c in
                    zip(res["stage2"]["names"], res["stage2"]["w_u"][:, 0]) if c != 0}
         ident_v = {n: float(c) for n, c in
                    zip(res["stage2"]["names"], res["stage2"]["w_v"][:, 0]) if c != 0}
         out = {
             "experiment": exp.name,
-            "stage1_rel_l2": res["stage1"]["rel_l2"],
+            "stage1_rel_l2": res["stage1"].get("rel_l2"),
             "stage2_u": ident_u,
             "stage2_v": ident_v,
             "stage3_rel_l2": res["stage3"]["rel_l2"],

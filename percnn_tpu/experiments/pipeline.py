@@ -24,7 +24,6 @@ from percnn_tpu.discovery.stridge import STRidge, discovery_metrics, pareto_sele
 from percnn_tpu.experiments.configs import ExperimentConfig
 from percnn_tpu.experiments.runner import make_dataset, run_experiment
 from percnn_tpu.experiments.stage3 import Stage3Config, run_stage3
-from percnn_tpu.pde.terms import gen_library
 
 
 def identified_to_symbolic(
@@ -124,7 +123,6 @@ def run_discovery_pipeline(
         save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
 
     # ---- Stage 2: sparse regression -----------------------------------
-    lib = gen_library()
     kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0, kappa=1.0)
     kw.update(stage2_kwargs or {})
     if stage2_frames is None:
@@ -166,17 +164,7 @@ def run_discovery_pipeline(
         w_u = STRidge(R, Ut).train(must_have=5, **kw)
         w_v = STRidge(R, Vt).train(must_have=6, **kw)
         s2 = {"w_u": w_u, "w_v": w_v, "names": names}
-    if truth_terms is None:
-        truth_terms = TRUTH_TERMS.get(exp.system)
-    if truth_terms:
-        coef_true_u = np.zeros((len(lib), 1))
-        for t, c in truth_terms.get("u", {}).items():
-            coef_true_u[lib.index(t)] = c
-        s2["metrics_u"] = discovery_metrics(w_u, coef_true_u)
-        coef_true_v = np.zeros((len(lib), 1))
-        for t, c in truth_terms.get("v", {}).items():
-            coef_true_v[lib.index(t)] = c
-        s2["metrics_v"] = discovery_metrics(w_v, coef_true_v)
+    _attach_support_metrics(s2, names, exp.system, truth_terms)
     extra = {}
     for eq in ("u", "v"):
         pr = s2.get(f"pareto_{eq}")
@@ -189,8 +177,31 @@ def run_discovery_pipeline(
              w_u=w_u, w_v=w_v, names=np.asarray(names), **extra)
 
     # ---- Stage 3: symbolic fine-tune ----------------------------------
+    s3, cell = _finish_stage3(exp, s2, out_dir=out_dir, cache_dir=cache_dir,
+                              stage3_iters=stage3_iters, dtype=dtype,
+                              seed=seed)
+    return {"stage1": s1, "stage2": s2, "stage3": s3, "symbolic_cell": cell}
+
+
+def _attach_support_metrics(s2, names, system, truth_terms):
+    """Precision/recall/coef-rel-L2 of a Stage-2 support vs the known
+    governing equation (BASELINE.md truth rows)."""
+    if truth_terms is None:
+        truth_terms = TRUTH_TERMS.get(system)
+    if not truth_terms:
+        return
+    for eq, w in (("u", s2["w_u"]), ("v", s2["w_v"])):
+        coef_true = np.zeros((len(names), 1))
+        for t, c in truth_terms.get(eq, {}).items():
+            coef_true[names.index(t)] = c
+        s2[f"metrics_{eq}"] = discovery_metrics(w, coef_true)
+
+
+def _finish_stage3(exp, s2, *, out_dir, cache_dir, stage3_iters, dtype, seed):
+    """Stage-2 support -> symbolic cell -> fine-tune (the common tail of
+    the full pipeline and the Stage-3-only entry point)."""
     cell, coef_init, nu_init = identified_to_symbolic(
-        w_u, w_v, names, dt=exp.dt, dx=exp.dx
+        s2["w_u"], s2["w_v"], s2["names"], dt=exp.dt, dx=exp.dx
     )
     s3cfg = Stage3Config(
         base=exp, cell=cell, coef_init=coef_init, nu_init=nu_init,
@@ -202,5 +213,37 @@ def run_discovery_pipeline(
                          cache_dir=cache_dir)
     s3 = run_stage3(s3cfg, truth, out_dir=out_dir, dtype=dtype,
                     n_iters_override=stage3_iters, seed=seed)
+    return s3, cell
 
-    return {"stage1": s1, "stage2": s2, "stage3": s3, "symbolic_cell": cell}
+
+def run_stage3_from_coefs(
+    exp: ExperimentConfig,
+    stage2_coefs: str,
+    *,
+    out_dir: str = "runs/pipeline",
+    cache_dir: str | None = "data_cache",
+    stage3_iters: int | None = None,
+    truth_terms: dict | None = None,
+    dtype=None,
+    seed: int = 0,
+) -> dict:
+    """Stage-3-only entry: fine-tune from a saved `*.stage2_coefs.npz`.
+
+    Pairs with `run_discovery_pipeline(stage1_recon=...)` the way the
+    reference's script hand-offs do, but at the Stage-2 -> Stage-3 boundary
+    (the reference hand-pastes the discovered coefficients into the
+    fine-tuning script, fine_tuning_[5%noise,41x51x51].py:123-130; here the
+    support rides the npz artifact every pipeline run writes)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    os.makedirs(out_dir, exist_ok=True)
+    with np.load(stage2_coefs, allow_pickle=False) as z:
+        s2 = {"w_u": z["w_u"], "w_v": z["w_v"],
+              "names": [str(n) for n in z["names"]]}
+    _attach_support_metrics(s2, s2["names"], exp.system, truth_terms)
+    s3, cell = _finish_stage3(exp, s2, out_dir=out_dir, cache_dir=cache_dir,
+                              stage3_iters=stage3_iters, dtype=dtype,
+                              seed=seed)
+    return {"stage1": {"reused_coefs": stage2_coefs}, "stage2": s2,
+            "stage3": s3, "symbolic_cell": cell}

@@ -145,3 +145,33 @@ def test_full_discovery_pipeline_tiny(tmp_path):
     assert np.isfinite(res["stage3"]["history"]).all()
     assert os.path.exists(str(tmp_path / "burgers_stage1.stage2_coefs.npz"))
     assert os.path.exists(str(tmp_path / "burgers_stage1.stage1_recon.npz"))
+
+
+def test_stage3_from_saved_coefs(tmp_path):
+    """Stage-3-only entry (`run_stage3_from_coefs` / CLI --stage2-coefs):
+    fine-tune from a saved *.stage2_coefs.npz without Stage-1/2 — the
+    reference's hand-paste hand-off (fine_tuning_[5%...].py:123-130) as an
+    artifact."""
+    from percnn_tpu.experiments.pipeline import run_stage3_from_coefs
+
+    exp = _small_burgers()
+    names = gen_library()
+    w_u = np.zeros((len(names), 1))
+    w_v = np.zeros((len(names), 1))
+    for n, c in (("ones*lap_u", 0.0049), ("u*u_x", -0.97), ("v*u_y", -0.96)):
+        w_u[names.index(n), 0] = c
+    for n, c in (("ones*lap_v", 0.0051), ("u*v_x", -0.98), ("v*v_y", -0.95)):
+        w_v[names.index(n), 0] = c
+    path = str(tmp_path / "coefs.npz")
+    np.savez(path, w_u=w_u, w_v=w_v, names=np.asarray(names))
+
+    res = run_stage3_from_coefs(exp, path, out_dir=str(tmp_path),
+                                cache_dir=None, stage3_iters=40)
+    assert res["stage1"]["reused_coefs"] == path
+    # support flowed through: nu from the lap column, terms from the rest
+    assert set(res["symbolic_cell"].terms[0]) == {"u*u_x", "v*u_y"}
+    assert set(res["symbolic_cell"].terms[1]) == {"u*v_x", "v*v_y"}
+    m = res["stage2"]["metrics_u"]
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+    assert np.isfinite(res["stage3"]["history"]).all()
+    assert os.path.exists(str(tmp_path / "stage3.ckpt.npz"))

@@ -75,6 +75,56 @@ def main(path="runs/round3/queue_results.jsonl"):
                       f"{s1 if s1 is None else f'{s1:.3g}'} | "
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
 
+    import os
+    full_path = os.path.join(os.path.dirname(path) or ".",
+                             "queue_results_fullmatrix.jsonl")
+    if os.path.exists(full_path):
+        frows = {}
+        for line in open(full_path):
+            r = json.loads(line)
+            frows[(r["system"], int(round(r["noise_pct"] * 100)))] = r
+        print("\n### Stage-2 full-design-matrix refinement (subsample 1.0 "
+              "vs the protocol's 0.2; same saved reconstructions)\n")
+        print("| noise | eq | subsampled: rel-L2 / prec / rec (spurious) | "
+              "full matrix: rel-L2 / prec / rec (spurious) |")
+        print("|---|---|---|---|")
+        for system in ("burgers_stage1", "lo_stage1"):
+            for pct in (0, 5, 10, 20, 30):
+                f = frows.get((system, pct))
+                r = rows.get((system, pct))
+                if f is None:
+                    continue
+                for eq in ("u", "v"):
+                    def cell(src):
+                        if src is None:
+                            return "—"
+                        terms = dict(src.get(f"s2_{eq}_terms", []))
+                        rec = src.get(f"s2_{eq}_recall", float("nan"))
+                        n_true = 3 if system == "burgers_stage1" else 6
+                        spur = (len(terms) - round(rec * n_true)
+                                if terms and rec == rec else "—")
+                        return (f"{src.get(f's2_{eq}_rel_l2', float('nan')):.3g} / "
+                                f"{src.get(f's2_{eq}_precision', float('nan')):.2f} / "
+                                f"{rec:.2f} ({spur})")
+                    print(f"| {system} {pct}% | {eq} | {cell(r)} | {cell(f)} |")
+
+    study_path = os.path.join(os.path.dirname(path) or ".",
+                              "lo20_stage2_study.jsonl")
+    if os.path.exists(study_path):
+        print("\n### LO Stage-2 window study (same recons, both regression "
+              "windows, Pareto knee)\n")
+        print("| run | window | subsample | u: rel-L2 / prec / rec | "
+              "v: rel-L2 / prec / rec |")
+        print("|---|---|---|---|---|")
+        for line in open(study_path):
+            r = json.loads(line)
+            run = r.get("run", "noise_lo_stage1_20").split("/")[-1]
+            print(f"| {run} | {r['frames']} | {r['subsample']} | "
+                  f"{r['u_rel_l2']:.3g} / {r['u_precision']:.2f} / "
+                  f"{r['u_recall']:.2f} | "
+                  f"{r['v_rel_l2']:.3g} / {r['v_precision']:.2f} / "
+                  f"{r['v_recall']:.2f} |")
+
     seeds = {}
     for line in open(path):
         r = json.loads(line)

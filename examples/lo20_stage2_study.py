@@ -65,13 +65,17 @@ def main():
     exp = EXPERIMENTS["lo_stage1"]
     lib = gen_library()
     done = done_keys()
+    recons = {}  # per run dir — the npz load is the expensive part
     for run, frames, sub in ((run, frames, sub) for run in RUNS
                              for frames in (slice(0, 100), slice(50, 150))
                              for sub in (0.2, 1.0)):
         fr = f"{frames.start}:{frames.stop}"
         if (run, fr, sub) in done:
             continue
-        recon = load_npz(os.path.join(run, "lo_stage1.stage1_recon.npz"))
+        if run not in recons:
+            recons[run] = load_npz(
+                os.path.join(run, "lo_stage1.stage1_recon.npz"))
+        recon = recons[run]
         R, Ut, Vt, names = build_design_matrix(
             recon, exp.dt, exp.dx, frames=frames, subsample=sub, seed=0)
         row = {"run": run, "frames": fr, "subsample": sub}

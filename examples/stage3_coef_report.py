@@ -13,6 +13,7 @@ CPU-only, no jax compute beyond tree loading:
 """
 import glob
 import os
+import re
 import sys
 
 import numpy as np
@@ -47,7 +48,8 @@ def report_dir(d):
     tree = tree.get("params", tree)  # train-state checkpoints wrap params
     nu = np.asarray(tree["cell"]["nu"]).ravel()
     truth = TRUTH_TERMS[system]
-    pct = os.path.basename(d).rsplit("_", 1)[-1].replace("full", "").strip("_")
+    m = re.search(r"_(\d+)(?:_full)?$", os.path.basename(d))
+    pct = m.group(1) if m else "?"
     lines = [f"#### {exp} {pct}% noise ({os.path.basename(ck_path)})", ""]
     lines.append("| eq | term | stage-3 coef | truth |")
     lines.append("|---|---|---|---|")

@@ -302,6 +302,14 @@ def main(argv=None):
         if args.stage2_coefs:
             from percnn_tpu.experiments.pipeline import run_stage3_from_coefs
 
+            dropped = [flag for flag, on in (
+                ("--stage1-recon", args.stage1_recon is not None),
+                ("--stage2-frames", args.stage2_frames is not None),
+                ("--stage2-subsample", args.stage2_subsample != 0.2),
+            ) if on]
+            if dropped:
+                p.error(f"--stage2-coefs skips Stage-1/2 entirely; "
+                        f"{', '.join(dropped)} would be silently ignored")
             res = run_stage3_from_coefs(
                 exp, args.stage2_coefs, out_dir=args.out,
                 cache_dir=args.cache, stage3_iters=args.stage3_iters,

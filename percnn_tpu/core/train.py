@@ -167,6 +167,7 @@ def train(
     watch_ema = None
     best_metric = math.inf
     last_best_write = -10 ** 9
+    best_unflushed = None  # (tree, meta) of a best improvement not yet on disk
 
     def save(path_suffix=""):
         if cfg.ckpt_path:
@@ -266,11 +267,26 @@ def train(
                             or state.iteration >= cfg.n_iters):
                         save(".best")
                         last_best_write = state.iteration
+                        best_unflushed = None
+                    else:
+                        # snapshot for the final flush: state.params moves on,
+                        # so the throttled-away best must be kept (tree refs
+                        # only — functional updates never mutate the arrays)
+                        best_unflushed = (
+                            state.as_tree(),
+                            {**state.meta(), **(extra_meta or {})})
 
             if cfg.ckpt_path and (state.iteration % cfg.ckpt_every < n_sub
                                   or state.iteration >= cfg.n_iters):
                 save()
     finally:
+        # final .best flush: an improvement inside the last throttle window
+        # would otherwise leave the on-disk .best permanently staler than the
+        # in-memory best_params (offline consumers treat .best as
+        # authoritative) — serialize the snapshot, not state.as_tree(),
+        # because state.params has moved past the best by now
+        if best_unflushed is not None and cfg.ckpt_path:
+            save_checkpoint(cfg.ckpt_path + ".best", *best_unflushed)
         if own_logger:
             logger.close()
 

@@ -127,6 +127,29 @@ def test_best_key_keeps_healthiest_iterate(tmp_path):
     assert best is not None
 
 
+def test_best_ckpt_final_flush_matches_returned_params(tmp_path):
+    """The on-disk .best must equal the returned best_params even when the
+    last improvement lands inside a throttle window (ckpt_every larger than
+    the run): offline consumers (stage3_coef_report) treat .best as
+    authoritative, so a stale first-improvement write is a silent
+    regression."""
+    from percnn_tpu.core.checkpoint import load_checkpoint_tree
+
+    def loss_fn(p):
+        w = p["w"]
+        # loss drives w monotonically up; 'data' bottoms out near w=2, so
+        # the best iterate is mid-run and the final chunks never improve
+        return -jnp.sum(w), {"data": jnp.sum((w - 2.0) ** 2)}
+
+    ck = str(tmp_path / "ff.npz")
+    cfg = TrainConfig(n_iters=400, lr=0.02, best_key="data", ckpt_path=ck,
+                      ckpt_every=10 ** 6, steps_per_call=20)
+    params, _ = train(loss_fn, {"w": jnp.zeros(2)}, cfg)
+    tree, _ = load_checkpoint_tree(ck + ".best")
+    np.testing.assert_allclose(np.asarray(tree["params"]["w"]),
+                               np.asarray(params["w"]))
+
+
 def test_spike_watchdog_triggers_on_finite_divergence(tmp_path):
     """A finite (non-NaN) jump of the watch metric past spike_mult x its EMA
     triggers reload+backoff; after spike_max_retries deterministic-replay

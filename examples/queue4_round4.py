@@ -72,6 +72,20 @@ def done_tags():
     return tags
 
 
+def wait_for_tpu():
+    """A killed TPU-holding process wedges the grant for up to ~25 min;
+    probe before starting runs (memory: axon-pythonpath-gotcha)."""
+    for i in range(40):
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, capture_output=True)
+        if r.returncode == 0:
+            print(f"TPU up (probe {i})", flush=True)
+            return
+        time.sleep(90)
+    raise RuntimeError("TPU never came up")
+
+
 def gs3d_seed0_resume():
     from percnn_tpu.experiments import EXPERIMENTS
     from percnn_tpu.experiments.runner import run_experiment
@@ -80,6 +94,20 @@ def gs3d_seed0_resume():
     res = run_experiment(exp, out_dir=f"{OUT}/gs3d_seed0",
                          cache_dir="data_cache", seed=0, resume=True)
     return {"seed": 0, "rel_l2": res["rel_l2"], "resumed": True}
+
+
+def gs3d_seed0_fresh():
+    """Uninterrupted seed-0 trajectory: the first gs3d_seed0 row was a
+    stalled queue-2 run resumed by queue 4 at the stage boundary — a valid
+    checkpoint-resume trajectory, but the seed table should also carry a
+    clean single-process run of the known-fragile seed."""
+    from percnn_tpu.experiments import EXPERIMENTS
+    from percnn_tpu.experiments.runner import run_experiment
+
+    exp = EXPERIMENTS["gs3d_recon"]
+    res = run_experiment(exp, out_dir=f"{OUT}/gs3d_seed0_fresh",
+                         cache_dir="data_cache", seed=0)
+    return {"seed": 0, "rel_l2": res["rel_l2"]}
 
 
 def burgers0_stage3_fill():
@@ -95,6 +123,7 @@ def burgers0_stage3_fill():
 
 
 if __name__ == "__main__":
+    wait_for_tpu()
     done = done_tags()
     record("queue4_start", {"done_already": sorted(done)})
     if "gs3d_seed0" not in done:
@@ -108,4 +137,7 @@ if __name__ == "__main__":
     if "burgers0_stage3_fill" not in done:
         guarded("burgers0_stage3_fill", f"{OUT}/noise_burgers_stage1_0",
                 burgers0_stage3_fill)
+    if "gs3d_seed0_fresh" not in done:
+        guarded("gs3d_seed0_fresh", f"{OUT}/gs3d_seed0_fresh",
+                gs3d_seed0_fresh)
     record("queue4_done", {})

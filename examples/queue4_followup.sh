@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 follow-up: after queue4 (gs3d_seed0 + _full redo rows) drains,
+# run the ensemble-rescued discovery protocol at 30% noise for both
+# systems, then regenerate the Stage-2 study + reports and commit.
+# Launch: nohup bash examples/queue4_followup.sh &
+set -u
+cd /root/repo
+LOG=runs/round4/orchestrate.log
+mkdir -p runs/round4
+Q4_PID=$(cat /tmp/queue4.pid 2>/dev/null || echo "")
+if [ -n "$Q4_PID" ]; then
+  while kill -0 "$Q4_PID" 2>/dev/null; do sleep 60; done
+fi
+echo "[$(date +%H:%M:%S)] queue4 exited; ensemble-discovery pass" >> "$LOG"
+
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+# a killed TPU process wedges the grant ~25 min; probe before runs
+for i in $(seq 1 40); do
+  if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    echo "[$(date +%H:%M:%S)] TPU up (probe $i)" >> "$LOG"
+    break
+  fi
+  sleep 90
+done
+
+python examples/ensemble_discovery.py burgers_stage1 0.3 4 >> "$LOG" 2>&1
+python examples/ensemble_discovery.py lo_stage1 0.3 4 >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] ensembles done; reports" >> "$LOG"
+
+JAX_PLATFORMS=cpu python examples/lo20_stage2_study.py >> "$LOG" 2>&1
+JAX_PLATFORMS=cpu python examples/stage2_fullmatrix.py \
+  >> runs/round3/fullmatrix.log 2>&1
+python examples/noise_matrix_report.py > runs/round3/noise_matrix.md 2>&1
+python examples/stage3_coef_report.py > runs/round3/stage3_coefs.md 2>&1
+git add -f runs/round3/noise_matrix.md runs/round3/stage3_coefs.md \
+  runs/round3/lo20_stage2_study.jsonl runs/round3/queue_results_fullmatrix.jsonl \
+  runs/round3/queue_results.jsonl runs/round4 2>/dev/null
+git commit -q -m "round-4 queue: regenerated noise-matrix + stage-3 reports" || true
+echo "[$(date +%H:%M:%S)] round-4 follow-up done" >> "$LOG"

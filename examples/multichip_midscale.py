@@ -22,6 +22,7 @@ import time
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh
 
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
@@ -55,17 +56,30 @@ def variant(tag, **kwargs):
     return row
 
 
+def done():
+    tags = set()
+    if os.path.exists(RESULTS):
+        for line in open(RESULTS):
+            tags.add(json.loads(line)["variant"])
+    return tags
+
+
 if __name__ == "__main__":
-    single = variant("single")
+    skip = done()  # resume after interruption: completed variants skip
+    if "single" not in skip:
+        variant("single")
     devs = np.array(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devs, ("x", "y"))
     with mesh:
-        halo = variant("halo_4x2", mesh=mesh, parallel_impl="halo")
-        gspmd = variant("gspmd_4x2", mesh=mesh, parallel_impl="gspmd")
+        if "halo_4x2" not in skip:
+            variant("halo_4x2", mesh=mesh, parallel_impl="halo")
+        if "gspmd_4x2" not in skip:
+            variant("gspmd_4x2", mesh=mesh, parallel_impl="gspmd")
     # the three runs share seed/config: training through either sharded
     # path must land at the single-device quality (identical graphs up to
     # reduction order => small float drift over 1500 iters is expected)
-    for row in (halo, gspmd):
-        rel = abs(row["rel_l2"] - single["rel_l2"])
-        assert rel < 0.05, (row, single)
+    by = {json.loads(l)["variant"]: json.loads(l) for l in open(RESULTS)}
+    for tag in ("halo_4x2", "gspmd_4x2"):
+        rel = abs(by[tag]["rel_l2"] - by["single"]["rel_l2"])
+        assert rel < 0.05, (by[tag], by["single"])
     print("MIDSCALE OK", flush=True)

@@ -42,6 +42,8 @@ def main(path="runs/round3/queue_results.jsonl"):
     for line in open(path):
         r = json.loads(line)
         if r.get("tag", "").startswith("noise_") and r.get("ok"):
+            # later lines win: a "_full" (reference-budget Stage-1) redo row
+            # supersedes its first-pass 8000-iter entry
             rows[(r["system"], int(round(r["noise_pct"] * 100)))] = r
 
     for system in ("burgers_stage1", "lo_stage1"):
@@ -52,6 +54,7 @@ def main(path="runs/round3/queue_results.jsonl"):
         print("|---|---|---|---|---|---|---|---|")
         for pct in (0, 5, 10, 20, 30):
             r = rows.get((system, pct))
+            mark = "*" if r is not None and r["tag"].endswith("_full") else ""
             for eq in ("u", "v"):
                 ref = REF[(system, eq)][pct]
                 if r is None:
@@ -70,10 +73,11 @@ def main(path="runs/round3/queue_results.jsonl"):
                      f"{prec:.2f} / {rec:.2f}")
                 s1 = r.get("stage1_rel_l2")
                 s3 = r.get("stage3_rel_l2")
-                print(f"| {pct}% | {eq} | {m} | {lap_s} | {ref['lap']:.4g} | "
+                print(f"| {pct}%{mark} | {eq} | {m} | {lap_s} | {ref['lap']:.4g} | "
                       f"{spur} vs {ref['spurious']} | "
                       f"{s1 if s1 is None else f'{s1:.3g}'} | "
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
+        print("\n(* = reference-budget Stage-1 redo row)")
 
     import os
     full_path = os.path.join(os.path.dirname(path) or ".",
@@ -125,22 +129,46 @@ def main(path="runs/round3/queue_results.jsonl"):
                   f"{r['v_rel_l2']:.3g} / {r['v_precision']:.2f} / "
                   f"{r['v_recall']:.2f} |")
 
-    seeds = {}
+    ens_path = "runs/round4/ensemble_discovery.jsonl"
+    if os.path.exists(ens_path):
+        print("\n### Ensemble-rescued discovery at 30% noise (same "
+              "measurement, init-seed ensemble; Stage-2/3 on the "
+              "aggregated reconstruction)\n")
+        print("| row | u: rel-L2 / prec / rec | v: rel-L2 / prec / rec | "
+              "stage-3 rel-L2 |")
+        print("|---|---|---|---|")
+        for line in open(ens_path):
+            r = json.loads(line)
+            def trip(eq):
+                rl = r.get(f"s2_{eq}_rel_l2")
+                p = r.get(f"s2_{eq}_precision")
+                rc = r.get(f"s2_{eq}_recall")
+                if rl is None or p is None or rc is None:
+                    return "—"
+                return f"{rl:.3g} / {p:.2f} / {rc:.2f}"
+            s3 = r.get("stage3_rel_l2")
+            print(f"| {r['tag']} | {trip('u')} | {trip('v')} | "
+                  f"{s3 if s3 is None else f'{s3:.3g}'} |")
+
+    seeds = {}  # keyed by tag: the resumed and fresh seed-0 rows both count
     for line in open(path):
         r = json.loads(line)
         if r.get("tag", "").startswith("gs3d_seed") and r.get("ok"):
-            seeds[r["seed"]] = r
+            seeds[r["tag"]] = r
     if seeds:
         print("\n### GS3D seed robustness (48^3, 12000 iters, spike "
               "watchdog + best-by-metric)\n")
         print("| seed | rel-L2 | minutes | note |")
         print("|---|---|---|---|")
         vals = []
-        for s in sorted(seeds):
-            r = seeds[s]
+        for tag in sorted(seeds):
+            r = seeds[tag]
             vals.append(r["rel_l2"])
-            note = "restored (queue v1)" if r.get("restored") else ""
-            print(f"| {s} | {r['rel_l2']:.4f} | {r['minutes']:.0f} | {note} |")
+            note = ("restored (queue v1)" if r.get("restored")
+                    else "fresh single-process rerun" if tag.endswith("_fresh")
+                    else "resumed across VM reset" if r.get("resumed") else "")
+            print(f"| {r['seed']} | {r['rel_l2']:.4f} | {r['minutes']:.0f} "
+                  f"| {note} |")
         import statistics
         print(f"\nmean rel-L2 {statistics.mean(vals):.4f}, max "
               f"{max(vals):.4f} over {len(vals)} seeds "

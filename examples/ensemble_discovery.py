@@ -35,16 +35,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np  # noqa: E402
 
 from percnn_tpu.data.io import load_npz, save_npz  # noqa: E402
-from percnn_tpu.discovery.library import build_design_matrix  # noqa: E402
-from percnn_tpu.discovery.stridge import (  # noqa: E402
-    STRidge, discovery_metrics, pareto_select,
-)
 from percnn_tpu.experiments import EXPERIMENTS  # noqa: E402
 from percnn_tpu.experiments.pipeline import (  # noqa: E402
-    TRUTH_TERMS, run_discovery_pipeline,
+    run_discovery_pipeline, run_stage2,
 )
 from percnn_tpu.experiments.runner import run_experiment  # noqa: E402
-from percnn_tpu.pde.terms import gen_library  # noqa: E402
 
 OUT = "runs/round4"
 RESULTS = os.path.join(OUT, "ensemble_discovery.jsonl")
@@ -70,32 +65,16 @@ def commit(tag, paths):
         traceback.print_exc()
 
 
-def truth_vec(lib, system, eq):
-    coef = np.zeros((len(lib), 1))
-    for t, c in TRUTH_TERMS[system].get(eq, {}).items():
-        coef[lib.index(t)] = c
-    return coef
-
-
 def stage2(recon, exp, seed=0):
-    """Mirror run_discovery_pipeline's Stage-2 protocol exactly
-    (pipeline.py:126-170): same window defaults, 20% row subsample,
-    must_have diffusion protection for Burgers / Pareto-knee for LO."""
-    frames = (slice(0, 100) if exp.system == "lambda_omega"
-              else slice(50, 150))
-    R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx,
-                                           frames=frames, subsample=0.2,
-                                           seed=seed)
-    kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0)
+    """The pipeline's own Stage-2 protocol (pipeline.run_stage2: per-system
+    window defaults, 20% row subsample, must_have diffusion protection for
+    Burgers / Pareto-knee for LO), flattened to a JSONL row."""
+    s2 = run_stage2(exp, recon, seed=seed)
+    names = s2["names"]
     out = {}
-    lib = gen_library()
-    for eq, col, mh in (("u", Ut, 5), ("v", Vt, 6)):
-        if exp.system == "lambda_omega":
-            w, _ = pareto_select(STRidge(R, col), **kw)
-        else:
-            w = STRidge(R, col).train(must_have=mh, kappa=1.0, **kw)
-        m = discovery_metrics(w, truth_vec(lib, exp.system, eq))
-        w = np.ravel(np.asarray(w))
+    for eq in ("u", "v"):
+        m = s2[f"metrics_{eq}"]
+        w = np.ravel(np.asarray(s2[f"w_{eq}"]))
         out[f"{eq}_rel_l2"] = float(m["rel_l2"])
         out[f"{eq}_precision"] = float(m["precision"])
         out[f"{eq}_recall"] = float(m["recall"])
@@ -113,12 +92,16 @@ def main():
 
     recons = []
     for k in range(n_members):
-        if k == 0:
+        round3_path = os.path.join(ROUND3, f"noise_{name}_{int(pct * 100)}",
+                                   f"{name}.stage1_recon.npz")
+        if k == 0 and os.path.exists(round3_path):
             # the committed noise-matrix run IS member 0 (same noise draw,
             # init seed 0)
-            path = os.path.join(ROUND3, f"noise_{name}_{int(pct * 100)}",
-                                f"{name}.stage1_recon.npz")
+            path = round3_path
         else:
+            # the noise draw depends only on exp.seed (runner.setup_problem),
+            # so a retrained member 0 sees the identical measurement even
+            # when the round-3 recon was lost to a VM reset
             d = os.path.join(OUT, f"ens_{base}_s{k}")
             path = os.path.join(d, f"{name}.stage1_recon.npz")
             if not os.path.exists(path):

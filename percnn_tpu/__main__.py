@@ -64,6 +64,16 @@ def main(argv=None):
     pp.add_argument("--stage2-subsample", type=float, default=0.2,
                     help="Stage-2 design-matrix row subsample fraction "
                          "(reference: 0.2, PDE_FIND_u.py:246-247)")
+    pp.add_argument("--ensemble-members", type=int, default=None,
+                    help="ensemble-rescued discovery: train K Stage-1 "
+                         "members on the SAME measurement (init seeds "
+                         "seed..seed+K-1), aggregate reconstructions, run "
+                         "Stage-2/3 on the aggregate + per-coef UQ")
+    pp.add_argument("--ensemble-aggregate", choices=("mean", "median"),
+                    default="mean")
+    pp.add_argument("--member-recon", action="append", default=None,
+                    help="reuse a saved member reconstruction .npz (repeat "
+                         "per member; remaining members train here)")
 
     pe = sub.add_parser("ensemble", help="train K members (DP) in one jit")
     pe.add_argument("experiment")
@@ -306,6 +316,7 @@ def main(argv=None):
                 ("--stage1-recon", args.stage1_recon is not None),
                 ("--stage2-frames", args.stage2_frames is not None),
                 ("--stage2-subsample", args.stage2_subsample != 0.2),
+                ("--ensemble-members", args.ensemble_members is not None),
             ) if on]
             if dropped:
                 p.error(f"--stage2-coefs skips Stage-1/2 entirely; "
@@ -314,6 +325,21 @@ def main(argv=None):
                 exp, args.stage2_coefs, out_dir=args.out,
                 cache_dir=args.cache, stage3_iters=args.stage3_iters,
                 seed=args.seed,
+            )
+        elif args.ensemble_members is not None:
+            from percnn_tpu.experiments.pipeline import run_ensemble_discovery
+
+            if args.stage1_recon is not None:
+                p.error("--ensemble-members trains its own members; use "
+                        "--member-recon (repeatable) to reuse saved ones")
+            res = run_ensemble_discovery(
+                exp, args.ensemble_members, out_dir=args.out,
+                cache_dir=args.cache, stage1_iters=args.stage1_iters,
+                aggregate=args.ensemble_aggregate,
+                member_recons=args.member_recon,
+                stage2_frames=frames, stage2_subsample=args.stage2_subsample,
+                stage3_iters=args.stage3_iters,
+                steps_per_call=args.steps_per_call, seed=args.seed,
             )
         else:
             res = run_discovery_pipeline(
@@ -338,6 +364,15 @@ def main(argv=None):
         for k in ("metrics_u", "metrics_v"):
             if k in res["stage2"]:
                 out[k] = res["stage2"][k]
+        if "uq" in res:
+            names = res["uq"]["names"]
+            for eq in ("u", "v"):
+                mu, sd = res["uq"][f"coef_mean_{eq}"], res["uq"][f"coef_std_{eq}"]
+                vote = res["uq"][f"support_vote_{eq}"]
+                out[f"uq_{eq}"] = {
+                    names[i]: {"mean": float(mu[i]), "std": float(sd[i]),
+                               "vote": float(vote[i])}
+                    for i in range(len(names)) if vote[i] > 0}
         print(json.dumps(out, indent=2))
         print(res["stage3"]["coef_table"])
         return 0

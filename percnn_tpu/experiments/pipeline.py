@@ -76,6 +76,63 @@ TRUTH_TERMS = {
 }
 
 
+def run_stage2(
+    exp: ExperimentConfig,
+    recon: np.ndarray,
+    *,
+    frames: slice | None = None,
+    subsample: float = 0.2,
+    kwargs: dict | None = None,
+    seed: int = 0,
+    truth_terms: dict | None = None,
+) -> dict:
+    """Stage-2 sparse regression on a reconstruction [T, *grid, 2].
+
+    The reference's per-system protocol in one call: Burgers protects the
+    diffusion column with must_have (PDE_FIND_u.py:49) at fixed kappa;
+    lambda-omega runs the no-must-have Pareto-front gamma sweep with an
+    automated knee (LO stage-2 PDE_FIND_u.py:297-335).  Returns the s2
+    dict {w_u, w_v, names, [pareto_u/v], [metrics_u/v]}."""
+    kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0, kappa=1.0)
+    kw.update(kwargs or {})
+    if frames is None:
+        # The reference regresses on frames 50:150 (PDE_FIND_u.py:220-222).
+        # For lambda-omega the on-attractor (A^2 ~ 1) collinearity of the
+        # cubic library interacts badly with accumulated reconstruction
+        # error; the early window — where the reconstruction is closest to
+        # the measurements — empirically recovers the clean 6-term equation
+        # (precision 0.56 -> 0.86, coef rel-L2 0.73 -> 0.06 on the full-size
+        # run; see RESULTS.md).
+        frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
+    want = frames
+    if frames.stop > recon.shape[0]:
+        # clip the window's END to the reconstruction, keeping its start —
+        # replacing the whole window would silently change the protocol
+        frames = slice(frames.start or 0, recon.shape[0])
+        if frames.start >= frames.stop:
+            raise ValueError(
+                f"stage2 frames {want} lies beyond the "
+                f"{recon.shape[0]}-frame reconstruction")
+    # subsample=0.2 matches the reference's 20% row subsample
+    # (PDE_FIND_u.py:246-247); 1.0 regresses the full matrix (cheap with
+    # the Gram-matrix solver, sharper at 0% noise).
+    R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx, frames=frames,
+                                           subsample=subsample, seed=seed)
+    if exp.system == "lambda_omega":
+        sweep_kw = dict(maxit=kw["maxit"], stridge_iters=kw["stridge_iters"],
+                        lam=kw["lam"], d_tol=kw["d_tol"])
+        w_u, pareto_u = pareto_select(STRidge(R, Ut), **sweep_kw)
+        w_v, pareto_v = pareto_select(STRidge(R, Vt), **sweep_kw)
+        s2 = {"w_u": w_u, "w_v": w_v, "names": names,
+              "pareto_u": pareto_u, "pareto_v": pareto_v}
+    else:
+        w_u = STRidge(R, Ut).train(must_have=5, **kw)
+        w_v = STRidge(R, Vt).train(must_have=6, **kw)
+        s2 = {"w_u": w_u, "w_v": w_v, "names": names}
+    _attach_support_metrics(s2, names, exp.system, truth_terms)
+    return s2
+
+
 def run_discovery_pipeline(
     exp: ExperimentConfig,
     *,
@@ -123,48 +180,10 @@ def run_discovery_pipeline(
         save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
 
     # ---- Stage 2: sparse regression -----------------------------------
-    kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0, kappa=1.0)
-    kw.update(stage2_kwargs or {})
-    if stage2_frames is None:
-        # The reference regresses on frames 50:150 (PDE_FIND_u.py:220-222).
-        # For lambda-omega the on-attractor (A^2 ~ 1) collinearity of the
-        # cubic library interacts badly with accumulated reconstruction
-        # error; the early window — where the reconstruction is closest to
-        # the measurements — empirically recovers the clean 6-term equation
-        # (precision 0.56 -> 0.86, coef rel-L2 0.73 -> 0.06 on the full-size
-        # run; see RESULTS.md).
-        stage2_frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
-    frames = stage2_frames
-    if frames.stop > recon.shape[0]:
-        # clip the window's END to the reconstruction, keeping its start —
-        # replacing the whole window would silently change the protocol
-        frames = slice(frames.start or 0, recon.shape[0])
-        if frames.start >= frames.stop:
-            raise ValueError(
-                f"stage2_frames {stage2_frames} lies beyond the "
-                f"{recon.shape[0]}-frame reconstruction")
-    # subsample=0.2 matches the reference's 20% row subsample
-    # (PDE_FIND_u.py:246-247); 1.0 regresses the full matrix (cheap with
-    # the Gram-matrix solver, sharper at 0% noise).
-    R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx, frames=frames,
-                                           subsample=stage2_subsample, seed=seed)
-    if exp.system == "lambda_omega":
-        # Reference LO Stage-2 protocol: NO must_have protection
-        # (LO stage-2 PDE_FIND_u.py:49) and the l0 weight gamma selected by
-        # the Pareto-front sweep (:297-335; knee picked automatically).
-        sweep_kw = dict(maxit=kw["maxit"], stridge_iters=kw["stridge_iters"],
-                        lam=kw["lam"], d_tol=kw["d_tol"])
-        w_u, pareto_u = pareto_select(STRidge(R, Ut), **sweep_kw)
-        w_v, pareto_v = pareto_select(STRidge(R, Vt), **sweep_kw)
-        s2 = {"w_u": w_u, "w_v": w_v, "names": names,
-              "pareto_u": pareto_u, "pareto_v": pareto_v}
-    else:
-        # Burgers Stage-2 protects the diffusion column (must_have, its
-        # PDE_FIND trainer) and uses a fixed kappa.
-        w_u = STRidge(R, Ut).train(must_have=5, **kw)
-        w_v = STRidge(R, Vt).train(must_have=6, **kw)
-        s2 = {"w_u": w_u, "w_v": w_v, "names": names}
-    _attach_support_metrics(s2, names, exp.system, truth_terms)
+    s2 = run_stage2(exp, recon, frames=stage2_frames,
+                    subsample=stage2_subsample, kwargs=stage2_kwargs,
+                    seed=seed, truth_terms=truth_terms)
+    w_u, w_v = s2["w_u"], s2["w_v"]
     extra = {}
     for eq in ("u", "v"):
         pr = s2.get(f"pareto_{eq}")
@@ -174,7 +193,7 @@ def run_discovery_pipeline(
                           f"pareto_l0_{eq}": pr["l0_count"],
                           f"pareto_gamma_{eq}": pr["selected_gamma"]})
     np.savez(os.path.join(out_dir, f"{exp.name}.stage2_coefs.npz"),
-             w_u=w_u, w_v=w_v, names=np.asarray(names), **extra)
+             w_u=w_u, w_v=w_v, names=np.asarray(s2["names"]), **extra)
 
     # ---- Stage 3: symbolic fine-tune ----------------------------------
     s3, cell = _finish_stage3(exp, s2, out_dir=out_dir, cache_dir=cache_dir,
@@ -247,3 +266,103 @@ def run_stage3_from_coefs(
                               seed=seed)
     return {"stage1": {"reused_coefs": stage2_coefs}, "stage2": s2,
             "stage3": s3, "symbolic_cell": cell}
+
+
+def run_ensemble_discovery(
+    exp: ExperimentConfig,
+    n_members: int,
+    *,
+    out_dir: str = "runs/ensemble_discovery",
+    cache_dir: str | None = "data_cache",
+    stage1_iters: int | None = None,
+    aggregate: str = "mean",
+    member_recons: list[str] | None = None,
+    stage2_frames: slice | None = None,
+    stage2_subsample: float = 0.2,
+    stage2_kwargs: dict | None = None,
+    stage3_iters: int | None = None,
+    truth_terms: dict | None = None,
+    dtype=None,
+    steps_per_call: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """Ensemble-rescued discovery: same measurement, init-seed ensemble.
+
+    High-noise Stage-2 degradation is dominated by Stage-1 reconstruction
+    bias, and that bias depends on the optimization path (RESULTS.md
+    protocol-ceiling check): train `n_members` Stage-1 models on the SAME
+    noisy measurements (`exp.seed` fixes the noise draw,
+    runner.setup_problem) with different init seeds (`seed + k`), aggregate
+    their reconstructions (mean or median over the member axis), and run
+    Stage-2 -> Stage-3 on the aggregate.  Init-seed variance averages out
+    of the design matrix; the measurement bias common to all members stays.
+    This differs from `run_ensemble` (experiments/ensemble.py), which
+    varies the noise draw per member to quantify seed sensitivity.
+
+    member_recons: optional paths to already-saved Stage-1 reconstructions
+    (e.g. from prior noise-matrix runs) used for the first members; only
+    the remaining ones train here.
+
+    Also reports per-coefficient uncertainty: Stage-2 is run on each
+    member's own reconstruction and the returned dict's "uq" entry carries,
+    per equation, the coefficient mean/std across members and each term's
+    support vote fraction — the reference offers no uncertainty estimate
+    at all (single fit per script).
+    """
+    import jax.numpy as jnp
+
+    if aggregate not in ("mean", "median"):
+        raise ValueError(f"aggregate must be 'mean' or 'median', got {aggregate!r}")
+    dtype = dtype or jnp.float32
+    os.makedirs(out_dir, exist_ok=True)
+    from percnn_tpu.data.io import load_npz
+
+    recons, members = [], []
+    for k in range(n_members):
+        if member_recons is not None and k < len(member_recons):
+            recon = load_npz(member_recons[k])
+            m = {"member": k, "recon": member_recons[k]}
+        else:
+            d = os.path.join(out_dir, f"member{k}")
+            s1 = run_experiment(exp, out_dir=d, cache_dir=cache_dir,
+                                dtype=dtype, n_iters_override=stage1_iters,
+                                steps_per_call=steps_per_call, seed=seed + k)
+            recon = np.asarray(s1["frames"])
+            path = os.path.join(d, f"{exp.name}.stage1_recon.npz")
+            save_npz(path, recon)
+            m = {"member": k, "recon": path, "stage1_rel_l2": s1["rel_l2"]}
+        s2_k = run_stage2(exp, recon, frames=stage2_frames,
+                          subsample=stage2_subsample, kwargs=stage2_kwargs,
+                          seed=seed, truth_terms=truth_terms)
+        m["stage2"] = s2_k
+        members.append(m)
+        recons.append(recon)
+
+    # ---- per-coefficient uncertainty across members --------------------
+    names = members[0]["stage2"]["names"]
+    uq = {"names": names, "n_members": n_members}
+    for eq in ("u", "v"):
+        W = np.stack([np.ravel(np.asarray(m["stage2"][f"w_{eq}"]))
+                      for m in members])  # [E, n_terms]
+        uq[f"coef_mean_{eq}"] = W.mean(axis=0)
+        uq[f"coef_std_{eq}"] = W.std(axis=0)
+        uq[f"support_vote_{eq}"] = (np.abs(W) > 1e-8).mean(axis=0)
+
+    # ---- aggregate reconstruction -> Stage-2/3 via the full pipeline ----
+    stack = np.stack(recons)
+    agg = (stack.mean(axis=0) if aggregate == "mean"
+           else np.median(stack, axis=0)).astype(stack.dtype)
+    agg_path = os.path.join(out_dir, f"{exp.name}.stage1_recon.ens_{aggregate}.npz")
+    save_npz(agg_path, agg)
+    res = run_discovery_pipeline(
+        exp, out_dir=out_dir, cache_dir=cache_dir,
+        stage2_frames=stage2_frames, stage2_kwargs=stage2_kwargs,
+        stage2_subsample=stage2_subsample, stage3_iters=stage3_iters,
+        truth_terms=truth_terms, dtype=dtype, steps_per_call=steps_per_call,
+        stage1_recon=agg_path, seed=seed)
+    np.savez(os.path.join(out_dir, f"{exp.name}.ens_uq.npz"),
+             names=np.asarray(names),
+             **{k: v for k, v in uq.items() if isinstance(v, np.ndarray)})
+    res.update({"members": members, "uq": uq, "aggregate": aggregate,
+                "aggregate_recon": agg_path})
+    return res

@@ -147,6 +147,56 @@ def test_full_discovery_pipeline_tiny(tmp_path):
     assert os.path.exists(str(tmp_path / "burgers_stage1.stage1_recon.npz"))
 
 
+def test_ensemble_discovery_aggregates_and_quantifies_uncertainty(tmp_path):
+    """run_ensemble_discovery on pre-saved member reconstructions (same
+    underlying field, independent per-member perturbation — the model-bias
+    analogue): the aggregate-mean reconstruction's Stage-2 must recover the
+    true Burgers support at least as well as the average member, and the
+    UQ block must report full support votes + finite coefficient spread
+    for the true terms."""
+    from percnn_tpu.experiments.pipeline import run_ensemble_discovery
+
+    exp = _small_burgers()
+    truth = simulate("burgers", default_ic("burgers", 32, seed=1), 80,
+                     exp.dt, exp.dx)
+    truth = np.asarray(truth)
+    rng = np.random.RandomState(0)
+    paths = []
+    for k in range(4):
+        sigma = 0.02 * truth.std(axis=(0, 1, 2), keepdims=True)
+        member = truth + sigma * rng.randn(*truth.shape)
+        p = str(tmp_path / f"member{k}.npz")
+        save_npz(p, member.astype(np.float32))
+        paths.append(p)
+
+    res = run_ensemble_discovery(
+        exp, 4, out_dir=str(tmp_path), cache_dir=None,
+        member_recons=paths, aggregate="mean",
+        stage2_frames=slice(0, 60), stage2_subsample=1.0,
+        stage3_iters=30,
+    )
+
+    # aggregate Stage-2: true support fully recovered
+    m_u = res["stage2"]["metrics_u"]
+    assert m_u["recall"] == 1.0
+    # averaging same-field members cuts the perturbation ~2x: the aggregate
+    # coefficient error must not exceed the mean per-member error
+    member_errs = [m["stage2"]["metrics_u"]["rel_l2"] for m in res["members"]]
+    assert m_u["rel_l2"] <= np.mean(member_errs) + 1e-9, (
+        m_u["rel_l2"], member_errs)
+
+    # UQ block: true terms win every member's vote, finite spread
+    names = res["uq"]["names"]
+    for term in ("ones*lap_u", "u*u_x", "v*u_y"):
+        i = names.index(term)
+        assert res["uq"]["support_vote_u"][i] == 1.0
+        assert np.isfinite(res["uq"]["coef_std_u"][i])
+    assert os.path.exists(str(tmp_path / f"{exp.name}.ens_uq.npz"))
+    assert os.path.exists(
+        str(tmp_path / f"{exp.name}.stage1_recon.ens_mean.npz"))
+    assert np.isfinite(res["stage3"]["history"]).all()
+
+
 def test_stage3_from_saved_coefs(tmp_path):
     """Stage-3-only entry (`run_stage3_from_coefs` / CLI --stage2-coefs):
     fine-tune from a saved *.stage2_coefs.npz without Stage-1/2 — the

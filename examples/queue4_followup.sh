@@ -24,8 +24,12 @@ for i in $(seq 1 40); do
   sleep 90
 done
 
-python examples/ensemble_discovery.py burgers_stage1 0.3 4 >> "$LOG" 2>&1
+# LO first: its 30% row is the one place the framework trails the
+# published reference (u precision 0.55, v recall 0.67 vs their 6/6);
+# Burgers 30% already beats published (3 spurious vs 8), so it gets the
+# cheaper 3-member pass and runs second in case the round ends first.
 python examples/ensemble_discovery.py lo_stage1 0.3 4 >> "$LOG" 2>&1
+python examples/ensemble_discovery.py burgers_stage1 0.3 3 >> "$LOG" 2>&1
 echo "[$(date +%H:%M:%S)] ensembles done; reports" >> "$LOG"
 
 JAX_PLATFORMS=cpu python examples/lo20_stage2_study.py >> "$LOG" 2>&1

@@ -64,6 +64,10 @@ def main(argv=None):
     pp.add_argument("--stage2-subsample", type=float, default=0.2,
                     help="Stage-2 design-matrix row subsample fraction "
                          "(reference: 0.2, PDE_FIND_u.py:246-247)")
+    pp.add_argument("--stage2-draws", type=int, default=None,
+                    help="stability-selection Stage-2: majority-vote the "
+                         "support over N independent subsample draws, then "
+                         "full-matrix lstsq refit")
     pp.add_argument("--ensemble-members", type=int, default=None,
                     help="ensemble-rescued discovery: train K Stage-1 "
                          "members on the SAME measurement (init seeds "
@@ -316,6 +320,7 @@ def main(argv=None):
                 ("--stage1-recon", args.stage1_recon is not None),
                 ("--stage2-frames", args.stage2_frames is not None),
                 ("--stage2-subsample", args.stage2_subsample != 0.2),
+                ("--stage2-draws", args.stage2_draws is not None),
                 ("--ensemble-members", args.ensemble_members is not None),
             ) if on]
             if dropped:
@@ -338,6 +343,7 @@ def main(argv=None):
                 aggregate=args.ensemble_aggregate,
                 member_recons=args.member_recon,
                 stage2_frames=frames, stage2_subsample=args.stage2_subsample,
+                stage2_draws=args.stage2_draws,
                 stage3_iters=args.stage3_iters,
                 steps_per_call=args.steps_per_call, seed=args.seed,
             )
@@ -346,6 +352,7 @@ def main(argv=None):
                 exp, out_dir=args.out, cache_dir=args.cache,
                 stage1_iters=args.stage1_iters, stage3_iters=args.stage3_iters,
                 stage2_frames=frames, stage2_subsample=args.stage2_subsample,
+                stage2_draws=args.stage2_draws,
                 steps_per_call=args.steps_per_call,
                 stage1_recon=args.stage1_recon,
                 seed=args.seed,

@@ -133,6 +133,61 @@ def run_stage2(
     return s2
 
 
+def run_stage2_stable(
+    exp: ExperimentConfig,
+    recon: np.ndarray,
+    *,
+    draws: int = 8,
+    vote: float = 0.5,
+    frames: slice | None = None,
+    subsample: float = 0.2,
+    kwargs: dict | None = None,
+    seed: int = 0,
+    truth_terms: dict | None = None,
+) -> dict:
+    """Stability-selection Stage-2 (Meinshausen & Buhlmann 2010 applied to
+    the reference's STRidge protocol).
+
+    The reference's 20% row subsample (PDE_FIND_u.py:246-247) makes the
+    recovered support a draw lottery once reconstruction bias is
+    noise-level: on the same 10%-noise Burgers reconstruction, three
+    subsample seeds give three different supports (RESULTS.md round 4).
+    Fix: run the per-system protocol over `draws` independent subsample
+    draws, keep each term whose inclusion fraction is >= `vote`, and refit
+    the voted support by exact lstsq on the FULL design matrix.  Returns
+    an s2 dict like `run_stage2` plus per-term vote fractions."""
+    votes = {}
+    for k in range(draws):
+        s2_k = run_stage2(exp, recon, frames=frames, subsample=subsample,
+                          kwargs=kwargs, seed=seed + k,
+                          truth_terms=truth_terms)
+        names = s2_k["names"]
+        for eq in ("u", "v"):
+            w = np.ravel(np.asarray(s2_k[f"w_{eq}"]))
+            votes.setdefault(eq, np.zeros(len(names)))
+            votes[eq] += (np.abs(w) > 1e-8).astype(float)
+    # one full-matrix build for the refit (frames default/clamp logic is
+    # run_stage2's; replicate its default here for the refit matrix)
+    if frames is None:
+        frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
+    if frames.stop > recon.shape[0]:
+        frames = slice(frames.start or 0, recon.shape[0])
+    R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx,
+                                           frames=frames, subsample=1.0,
+                                           seed=seed)
+    s2 = {"names": names}
+    for eq, col in (("u", Ut), ("v", Vt)):
+        frac = votes[eq] / draws
+        support = np.flatnonzero(frac >= vote)
+        w = np.zeros((len(names), 1))
+        if support.size:
+            w[support] = np.linalg.lstsq(R[:, support], col, rcond=None)[0]
+        s2[f"w_{eq}"] = w
+        s2[f"votes_{eq}"] = frac
+    _attach_support_metrics(s2, names, exp.system, truth_terms)
+    return s2
+
+
 def run_discovery_pipeline(
     exp: ExperimentConfig,
     *,
@@ -142,6 +197,7 @@ def run_discovery_pipeline(
     stage2_frames: slice | None = None,
     stage2_kwargs: dict | None = None,
     stage2_subsample: float = 0.2,
+    stage2_draws: int | None = None,
     stage3_iters: int | None = None,
     truth_terms: dict | None = None,
     dtype=None,
@@ -154,7 +210,9 @@ def run_discovery_pipeline(
     stage1_recon: path to a saved Stage-1 reconstruction .npz — skips the
     Stage-1 training and regresses on that artifact instead (the
     reference's own workflow: its Stage-2 scripts load the .mat a separate
-    Stage-1 run saved, PDE_FIND_u.py:220-222)."""
+    Stage-1 run saved, PDE_FIND_u.py:220-222).
+    stage2_draws: if set, Stage-2 uses stability selection over that many
+    subsample draws (run_stage2_stable) instead of a single draw."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -180,9 +238,16 @@ def run_discovery_pipeline(
         save_npz(os.path.join(out_dir, f"{exp.name}.stage1_recon.npz"), recon)
 
     # ---- Stage 2: sparse regression -----------------------------------
-    s2 = run_stage2(exp, recon, frames=stage2_frames,
-                    subsample=stage2_subsample, kwargs=stage2_kwargs,
-                    seed=seed, truth_terms=truth_terms)
+    if stage2_draws:
+        s2 = run_stage2_stable(exp, recon, draws=stage2_draws,
+                               frames=stage2_frames,
+                               subsample=stage2_subsample,
+                               kwargs=stage2_kwargs, seed=seed,
+                               truth_terms=truth_terms)
+    else:
+        s2 = run_stage2(exp, recon, frames=stage2_frames,
+                        subsample=stage2_subsample, kwargs=stage2_kwargs,
+                        seed=seed, truth_terms=truth_terms)
     w_u, w_v = s2["w_u"], s2["w_v"]
     extra = {}
     for eq in ("u", "v"):
@@ -280,6 +345,7 @@ def run_ensemble_discovery(
     stage2_frames: slice | None = None,
     stage2_subsample: float = 0.2,
     stage2_kwargs: dict | None = None,
+    stage2_draws: int | None = None,
     stage3_iters: int | None = None,
     truth_terms: dict | None = None,
     dtype=None,
@@ -357,7 +423,8 @@ def run_ensemble_discovery(
     res = run_discovery_pipeline(
         exp, out_dir=out_dir, cache_dir=cache_dir,
         stage2_frames=stage2_frames, stage2_kwargs=stage2_kwargs,
-        stage2_subsample=stage2_subsample, stage3_iters=stage3_iters,
+        stage2_subsample=stage2_subsample, stage2_draws=stage2_draws,
+        stage3_iters=stage3_iters,
         truth_terms=truth_terms, dtype=dtype, steps_per_call=steps_per_call,
         stage1_recon=agg_path, seed=seed)
     np.savez(os.path.join(out_dir, f"{exp.name}.ens_uq.npz"),

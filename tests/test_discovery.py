@@ -105,6 +105,36 @@ def _nonzero(w, names):
     return {n: float(c) for n, c in zip(names, w[:, 0]) if c != 0}
 
 
+def test_stage2_stability_selection_votes_and_refits():
+    """run_stage2_stable on a noisy Burgers simulation: every true term
+    must win every draw's vote, the refit support must equal the voted
+    support, and coefficients must match truth (the per-draw subsample
+    lottery documented in RESULTS.md round 4 averages out)."""
+    import dataclasses
+
+    from percnn_tpu.experiments.configs import BURGERS_STAGE1
+    from percnn_tpu.experiments.pipeline import TRUTH_TERMS, run_stage2_stable
+
+    exp = dataclasses.replace(BURGERS_STAGE1, grid=64)
+    h0 = default_ic("burgers", 64, seed=1)
+    roll = simulate("burgers", h0, 60, exp.dt, exp.dx)
+    from percnn_tpu.data.noise import add_noise
+
+    roll = np.asarray(add_noise(roll, 0.001, seed=7))
+    s2 = run_stage2_stable(exp, roll, draws=4, frames=slice(0, 60),
+                           kwargs=dict(lam=0.01, d_tol=20), seed=0)
+    names = s2["names"]
+    for eq in ("u", "v"):
+        votes = s2[f"votes_{eq}"]
+        w = np.ravel(s2[f"w_{eq}"])
+        for term in TRUTH_TERMS["burgers"][eq]:
+            assert votes[names.index(term)] == 1.0, (eq, term, votes)
+        np.testing.assert_array_equal(np.abs(w) > 1e-12, votes >= 0.5)
+        m = s2[f"metrics_{eq}"]
+        assert m["recall"] == 1.0, (eq, m, _nonzero(s2[f"w_{eq}"], names))
+        assert m["rel_l2"] < 0.1, (eq, m)
+
+
 def test_pareto_sweep_runs():
     rng = np.random.RandomState(5)
     X = rng.randn(500, 8)

@@ -129,6 +129,19 @@ def main(path="runs/round3/queue_results.jsonl"):
                   f"{r['v_rel_l2']:.3g} / {r['v_precision']:.2f} / "
                   f"{r['v_recall']:.2f} |")
 
+    stable_path = "runs/round4/stage2_stable.jsonl"
+    if os.path.exists(stable_path):
+        print("\n### Stability-selection Stage-2 (majority-vote support over "
+              "8 subsample draws + full-matrix refit; same recons)\n")
+        print("| run | u: rel-L2 / prec / rec | v: rel-L2 / prec / rec |")
+        print("|---|---|---|")
+        for line in open(stable_path):
+            r = json.loads(line)
+            print(f"| {r['tag']} | {r['s2_u_rel_l2']:.3g} / "
+                  f"{r['s2_u_precision']:.2f} / {r['s2_u_recall']:.2f} | "
+                  f"{r['s2_v_rel_l2']:.3g} / {r['s2_v_precision']:.2f} / "
+                  f"{r['s2_v_recall']:.2f} |")
+
     ens_path = "runs/round4/ensemble_discovery.jsonl"
     if os.path.exists(ens_path):
         print("\n### Ensemble-rescued discovery at 30% noise (same "

@@ -126,9 +126,12 @@ def main():
         agg_path = os.path.join(d, f"{name}.stage1_recon.npz")
         save_npz(agg_path, agg.astype(np.float32))
         if agg_name == "mean":
-            # full Stage-2 -> Stage-3 through the pipeline on the mean recon
+            # full Stage-2 -> Stage-3 through the pipeline on the mean
+            # recon; the headline aggregate row uses stability selection
+            # (8 subsample draws) so it is not a single-draw lottery
             res = run_discovery_pipeline(exp, out_dir=d,
                                          cache_dir="data_cache",
+                                         stage2_draws=8,
                                          stage1_recon=agg_path)
             row = {"tag": f"{base}_ens_{agg_name}", "n_members": n_members,
                    "stage3_rel_l2": res["stage3"].get("rel_l2")}

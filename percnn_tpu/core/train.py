@@ -57,6 +57,14 @@ class TrainConfig:
     # many consecutive rollbacks the spike is accepted as the new regime
     # (EMA rebased, training continues — best_key still guards the final
     # params).  NaN keeps the strict 50-retry cap: one can't train through it.
+    lr_recover: float = 1.0
+    # Per-iteration multiplicative recovery of the watchdog's lr_scale back
+    # toward 1.0 on clean chunks (e.g. 1.002).  Without it the 0.9 backoff
+    # is PERMANENT: round-3 GS3D seed 0 spiked once ~85% through training,
+    # accepted a 0.185x scale, and finished LR-starved (final loss 3.2e-3
+    # vs 1.6e-3 on healthy seeds; rel-L2 0.122 vs ~0.03).  The watchdog
+    # re-fires if restored LR re-destabilizes.  Opt-in deviation; the
+    # reference's backoff is likewise permanent (train_3drd.py:427-434).
     best_key: str | None = None
     # Return the params with the lowest value of this aux metric (e.g.
     # "loss"/"data") instead of the final ones — robust to SLOW finite
@@ -227,6 +235,8 @@ def train(
                 continue
             nan_streak = 0
             spike_streak = 0
+            if cfg.lr_recover > 1.0 and state.lr_scale < 1.0:
+                state.lr_scale = min(1.0, state.lr_scale * cfg.lr_recover ** n_sub)
             w_last = float(watch[-1])
             if np.isfinite(w_last):
                 watch_ema = (w_last if watch_ema is None

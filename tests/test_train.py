@@ -181,6 +181,37 @@ def test_spike_watchdog_triggers_on_finite_divergence(tmp_path):
     assert not any(json.loads(l).get("event") for l in open(log2))
 
 
+def test_lr_recover_restores_scale_after_spike(tmp_path):
+    """lr_recover walks the watchdog's lr_scale back toward 1.0 on clean
+    chunks; without it the backoff is permanent (round-3 GS3D seed 0
+    finished a 12k-iter run LR-starved at 0.185x after one mid-run spike)."""
+    import json
+
+    from percnn_tpu.core.checkpoint import peek_meta
+
+    def loss_fn(p):
+        w = jnp.sum(p["w"])
+        phy = jnp.where(w > 0.5, 1e4, 1.0)      # one-shot finite divergence
+        return -w, {"phy": phy}
+
+    def run(lr_recover, tag):
+        ckpt = str(tmp_path / f"{tag}.npz")
+        log = str(tmp_path / f"{tag}.jsonl")
+        train(loss_fn, {"w": jnp.zeros(2)},
+              TrainConfig(n_iters=400, lr=0.01, watchdog=True,
+                          watchdog_key="phy", spike_mult=10.0, spike_warmup=0,
+                          lr_recover=lr_recover, ckpt_path=ckpt, ckpt_every=1,
+                          log_path=log, log_every=10 ** 9))
+        events = [json.loads(l).get("event") for l in open(log)]
+        assert "spike_accepted" in events        # backoff path exercised
+        return peek_meta(ckpt)["lr_scale"]
+
+    backed_off = run(1.0, "perm")                # permanent: 0.9^retries
+    assert backed_off < 0.95
+    recovered = run(1.05, "rec")                 # same spike, then recovery
+    assert recovered == 1.0
+
+
 def _tiny_lo_config():
     exp = FORWARD_SIM_LO
     cell = dataclasses.replace(exp.cell, hidden=4)

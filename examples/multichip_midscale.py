@@ -45,7 +45,11 @@ EXP = dataclasses.replace(
 
 def variant(tag, **kwargs):
     t0 = time.time()
-    res = run_experiment(EXP, out_dir=f"{OUT}/midscale_{tag}",
+    out_dir = f"{OUT}/midscale_{tag}"
+    # resume mid-variant after a VM reset when a checkpoint survived
+    # (run dirs are force-committed periodically by the CPU chain)
+    resume = os.path.exists(os.path.join(out_dir, f"{EXP.name}.ckpt.npz"))
+    res = run_experiment(EXP, out_dir=out_dir, resume=resume,
                          cache_dir="data_cache", seed=0, **kwargs)
     row = {"variant": tag, "rel_l2": float(res["rel_l2"]),
            "final_loss": float(res["history"][-1]),

@@ -76,6 +76,25 @@ TRUTH_TERMS = {
 }
 
 
+def default_stage2_frames(exp: ExperimentConfig) -> slice:
+    """Per-system default Stage-2 regression window.
+
+    The reference regresses on frames 50:150 (PDE_FIND_u.py:220-222).
+    For lambda-omega the on-attractor (A^2 ~ 1) collinearity of the cubic
+    library interacts badly with accumulated reconstruction error, so at
+    low noise the early window — where the reconstruction is closest to
+    the measurements — recovers the clean 6-term equation (precision
+    0.56 -> 0.86, coef rel-L2 0.73 -> 0.06; RESULTS.md round 3).  The
+    trade-off inverts with noise: at >=20% the early window inherits the
+    measurement noise while the reference window stays clean (window x
+    subsample study over every saved LO reconstruction,
+    runs/round3/lo20_stage2_study.jsonl), so the default is noise-aware.
+    """
+    if exp.system == "lambda_omega" and exp.noise_pct < 0.2:
+        return slice(0, 100)
+    return slice(50, 150)
+
+
 def run_stage2(
     exp: ExperimentConfig,
     recon: np.ndarray,
@@ -96,14 +115,7 @@ def run_stage2(
     kw = dict(maxit=50, stridge_iters=40, lam=1e-4, d_tol=5.0, kappa=1.0)
     kw.update(kwargs or {})
     if frames is None:
-        # The reference regresses on frames 50:150 (PDE_FIND_u.py:220-222).
-        # For lambda-omega the on-attractor (A^2 ~ 1) collinearity of the
-        # cubic library interacts badly with accumulated reconstruction
-        # error; the early window — where the reconstruction is closest to
-        # the measurements — empirically recovers the clean 6-term equation
-        # (precision 0.56 -> 0.86, coef rel-L2 0.73 -> 0.06 on the full-size
-        # run; see RESULTS.md).
-        frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
+        frames = default_stage2_frames(exp)
     want = frames
     if frames.stop > recon.shape[0]:
         # clip the window's END to the reconstruction, keeping its start —
@@ -169,7 +181,7 @@ def run_stage2_stable(
     # one full-matrix build for the refit (frames default/clamp logic is
     # run_stage2's; replicate its default here for the refit matrix)
     if frames is None:
-        frames = slice(0, 100) if exp.system == "lambda_omega" else slice(50, 150)
+        frames = default_stage2_frames(exp)
     if frames.stop > recon.shape[0]:
         frames = slice(frames.start or 0, recon.shape[0])
     R, Ut, Vt, names = build_design_matrix(recon, exp.dt, exp.dx,

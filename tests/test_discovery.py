@@ -135,6 +135,30 @@ def test_stage2_stability_selection_votes_and_refits():
         assert m["rel_l2"] < 0.1, (eq, m)
 
 
+def test_default_stage2_frames_noise_aware():
+    """LO's default regression window flips to the reference's 50:150 at
+    >=20% noise (window x subsample study, RESULTS.md round 3 addendum:
+    the early window inherits measurement noise at high levels while the
+    reference window stays clean); Burgers always uses 50:150
+    (PDE_FIND_u.py:220-222)."""
+    import dataclasses
+
+    from percnn_tpu.experiments.configs import BURGERS_STAGE1, LO_STAGE1
+    from percnn_tpu.experiments.pipeline import default_stage2_frames
+
+    assert default_stage2_frames(
+        dataclasses.replace(LO_STAGE1, noise_pct=0.0)) == slice(0, 100)
+    assert default_stage2_frames(
+        dataclasses.replace(LO_STAGE1, noise_pct=0.1)) == slice(0, 100)
+    assert default_stage2_frames(
+        dataclasses.replace(LO_STAGE1, noise_pct=0.2)) == slice(50, 150)
+    assert default_stage2_frames(
+        dataclasses.replace(LO_STAGE1, noise_pct=0.3)) == slice(50, 150)
+    for pct in (0.0, 0.3):
+        assert default_stage2_frames(
+            dataclasses.replace(BURGERS_STAGE1, noise_pct=pct)) == slice(50, 150)
+
+
 def test_pareto_sweep_runs():
     rng = np.random.RandomState(5)
     X = rng.randn(500, 8)

@@ -68,7 +68,15 @@ def main():
     paths["median"] = os.path.join(OUT, "ens_lo30_median",
                                    "lo_stage1.stage1_recon.npz")
 
+    done = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            done = {json.loads(line).get("tag") for line in f if line.strip()}
+
     for key, path in paths.items():
+        if f"lo30_refwin_{key}" in done:
+            print(f"skip {key}: already recorded", flush=True)
+            continue
         if not os.path.exists(path):
             print(f"skip {key}: {path} missing", flush=True)
             continue

@@ -72,6 +72,16 @@ class TrainConfig:
     # drifted phy 12x over 5000 iters and kept degraded final params).
     # Orthogonal to best_val (which needs a val split).  Opt-in deviation
     # from the reference, which always keeps last params.
+    spike_reset_opt: bool = False
+    # On the 2nd+ consecutive watchdog rollback, reinitialize the optimizer
+    # state from the reloaded params instead of restoring the checkpointed
+    # Adam moments.  A rollback replays a deterministic trajectory (same
+    # params, same moments, same data) where the only perturbation is the
+    # LR cut; GS3D seeds 0/4 show one finite spike can cascade for hundreds
+    # of iterations under pure LR cuts (RESULTS.md round 4).  Zeroing the
+    # moments also discards the update direction that produced the spike.
+    # Opt-in deviation: the reference watchdog restores the optimizer dict
+    # (train_3drd.py:427-434).
     log_path: str | None = None
     log_every: int = 50
     steps_per_call: int = 1   # optimizer steps fused per device call: the
@@ -228,8 +238,15 @@ def train(
                     tree, meta = load_checkpoint(cfg.ckpt_path, state.as_tree())
                     state.params = tree["params"]
                     state.opt_state = tree["opt_state"]
+                opt_reset = (cfg.spike_reset_opt
+                             and nan_streak + spike_streak >= 2)
+                if opt_reset:
+                    # the LR-cut replay didn't escape; discard the Adam
+                    # moments that produced the spike (see TrainConfig)
+                    state.opt_state = tx.init(state.params)
                 logger.log(it, event="spike_watchdog" if spiked else "nan_watchdog",
                            lr_scale=state.lr_scale,
+                           **({"opt_reset": True} if opt_reset else {}),
                            **({"watch": float(np.max(watch)),
                                "ema": watch_ema} if spiked else {}))
                 continue

@@ -363,18 +363,33 @@ def inference_rollout(params: dict, prob: Problem, n_steps: int) -> jnp.ndarray:
 
 def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     """Inference rollout + rel-L2 vs clean truth (the reference's headline
-    accuracy metric)."""
+    accuracy metric).
+
+    Divergence-aware: if the autonomous rollout goes non-finite (an
+    unstable iterate can train to finite loss on 300-step segments yet
+    blow up over the 1000-step eval horizon — GS3D seed 4, RESULTS.md
+    round 4), the rel-L2 metrics are computed over the finite prefix and
+    reported alongside ``stable_frames`` (frames before the first
+    non-finite one) and ``diverged`` instead of poisoning every metric
+    with NaN.  The reference's scripts would print nan in this case
+    (train_3drd.py:540-558 has no finite guard)."""
     frames = np.asarray(inference_rollout(params, prob, n_steps))
     t = min(frames.shape[0], prob.truth.shape[0])
-    diff = (frames[:t] - prob.truth[:t]).reshape(t, -1).astype(np.float64)
-    ref = prob.truth[:t].reshape(t, -1).astype(np.float64)
+    finite = np.isfinite(frames[:t]).all(axis=tuple(range(1, frames.ndim)))
+    bad = np.flatnonzero(~finite)
+    stable = int(bad[0]) if bad.size else t
+    s = max(stable, 1)  # frame 0 is the IC; keep metrics well-defined
+    diff = (frames[:s] - prob.truth[:s]).reshape(s, -1).astype(np.float64)
+    ref = prob.truth[:s].reshape(s, -1).astype(np.float64)
     per_frame = np.linalg.norm(diff, axis=1) / np.maximum(
         np.linalg.norm(ref, axis=1), 1e-30)
     return {
-        "rel_l2": rel_l2(frames[:t], prob.truth[:t]),
-        "rel_l2_u": rel_l2(frames[:t, ..., 0], prob.truth[:t, ..., 0]),
-        "rel_l2_v": rel_l2(frames[:t, ..., 1], prob.truth[:t, ..., 1]),
+        "rel_l2": rel_l2(frames[:s], prob.truth[:s]),
+        "rel_l2_u": rel_l2(frames[:s, ..., 0], prob.truth[:s, ..., 0]),
+        "rel_l2_v": rel_l2(frames[:s, ..., 1], prob.truth[:s, ..., 1]),
         "rel_l2_per_frame": per_frame,  # error-accumulation curve
+        "stable_frames": stable,        # == t when the rollout stays finite
+        "diverged": stable < t,
         "frames": frames,
     }
 
@@ -512,7 +527,9 @@ def run_experiment(
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), params)
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
-    logger.log(n_total, final_rel_l2=metrics["rel_l2"])
+    logger.log(n_total, final_rel_l2=metrics["rel_l2"],
+               **({"stable_frames": metrics["stable_frames"],
+                   "diverged": True} if metrics["diverged"] else {}))
     logger.close()
     try:
         _export_viz(exp, prob, params, metrics, truth, out_dir)

@@ -414,3 +414,62 @@ def test_best_key_typo_raises():
     cfg = TrainConfig(n_iters=10, lr=0.01, best_key="dta", ckpt_path=None)
     with pytest.raises(KeyError, match="dta"):
         train(loss_fn, {"w": jnp.ones(2)}, cfg)
+
+
+def test_evaluate_divergence_aware():
+    """An iterate can train to finite loss on short segments yet blow up
+    over the long eval horizon (GS3D seed 4, RESULTS.md round 4); evaluate
+    must report the finite prefix + stable_frames instead of NaN metrics."""
+    from percnn_tpu.core.cell import init_pi_cell
+
+    cfg = FORWARD_SIM_LO.cell
+    exp = dataclasses.replace(FORWARD_SIM_LO, grid=8)
+    rng = np.random.RandomState(0)
+    truth = (0.1 * rng.rand(31, 8, 8, 2)).astype(np.float32)
+    prob = R.Problem(exp, truth, jnp.asarray(truth[0]), None, None)
+
+    cell = init_pi_cell(jax.random.PRNGKey(0), cfg)
+
+    # healthy params: full horizon, no divergence flag
+    m = R.evaluate({"cell": cell}, prob, 30)
+    assert not m["diverged"] and m["stable_frames"] == 31
+    assert np.isfinite(m["rel_l2"])
+
+    # exploded params: finite-prefix metrics + divergence report
+    boom = jax.tree_util.tree_map(lambda x: x * 1e6, cell)
+    m = R.evaluate({"cell": boom}, prob, 30)
+    assert m["diverged"] and 1 <= m["stable_frames"] < 31
+    for k in ("rel_l2", "rel_l2_u", "rel_l2_v"):
+        assert np.isfinite(m[k]), k
+    assert np.isfinite(m["rel_l2_per_frame"]).all()
+
+
+def test_spike_reset_opt_reinits_moments_on_repeat_rollback(tmp_path):
+    """With spike_reset_opt, the 2nd+ consecutive watchdog rollback must
+    reinitialize the optimizer moments (the LR-cut-only replay is
+    deterministic and can cascade — GS3D seeds 0/4, RESULTS.md round 4);
+    the 1st rollback keeps the reference semantics (reload moments)."""
+    from percnn_tpu.utils.metrics import MetricsLogger
+
+    def loss_fn(p):
+        l = jnp.sum(p["w"] ** 2)
+        return l, {"phy": jnp.where(jnp.sum(p["w"] ** 2) > 25.0, jnp.nan, l)}
+
+    cfg = TrainConfig(n_iters=20, lr=1e-2, watchdog=True, watchdog_key="phy",
+                      spike_reset_opt=True, ckpt_path=str(tmp_path / "w.npz"))
+    logger = MetricsLogger()
+    # start inside the NaN region: every chunk fails until the 50-cap abort
+    with pytest.raises(FloatingPointError, match="watchdog"):
+        train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg, logger=logger)
+    events = [r for r in logger.history if r.get("event") == "nan_watchdog"]
+    assert len(events) >= 3
+    assert "opt_reset" not in events[0]          # 1st rollback: reference path
+    assert all(e.get("opt_reset") for e in events[1:])  # 2nd+: moments reset
+
+    # default (off): no rollback ever resets
+    cfg2 = dataclasses.replace(cfg, ckpt_path=str(tmp_path / "w2.npz"))
+    cfg2 = dataclasses.replace(cfg2, spike_reset_opt=False)
+    logger2 = MetricsLogger()
+    with pytest.raises(FloatingPointError, match="watchdog"):
+        train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg2, logger=logger2)
+    assert not any("opt_reset" in r for r in logger2.history)

@@ -82,6 +82,14 @@ class TrainConfig:
     # moments also discards the update direction that produced the spike.
     # Opt-in deviation: the reference watchdog restores the optimizer dict
     # (train_3drd.py:427-434).
+    probe_every: int = 0
+    # Cadence (iterations) of the caller-supplied stability probe (see
+    # train(probe=...)).  0 disables probing.  The probe extends watchdog
+    # coverage past training-horizon metrics: GS3D params can train to
+    # finite loss on 300-step segments yet diverge over the 1000-step
+    # inference horizon (seed 4, RESULTS.md round 4) — neither the NaN nor
+    # the spike watchdog sees that.  The reference has no equivalent
+    # (train_3drd.py:427-434 only watches the training loss).
     log_path: str | None = None
     log_every: int = 50
     steps_per_call: int = 1   # optimizer steps fused per device call: the
@@ -127,6 +135,7 @@ def train(
     logger: MetricsLogger | None = None,
     extra_meta: dict | None = None,
     loss_args: tuple = (),
+    probe: Callable | None = None,
 ) -> tuple:
     """Run the training loop.
 
@@ -139,6 +148,13 @@ def train(
     compilation cache hits across runs.
     extra_meta: caller bookkeeping merged into every checkpoint's metadata
     (e.g. the curriculum stage index, so resume re-enters the right stage).
+    probe: stability probe, fired every cfg.probe_every iterations:
+    probe(params) -> float score where LOWER is better and a non-finite
+    score marks the iterate UNSTABLE (e.g. a full-inference-horizon rollout
+    that checks finiteness and returns the measurement data-fit).  Each
+    finite-score improvement checkpoints to ``cfg.ckpt_path + '.stable'``
+    (meta carries probe_score/iteration), giving post-training candidate
+    selection an iterate that is known-stable over the probe horizon.
     Returns (best-or-final params, loss_history list).
     """
     if cfg.best_val and cfg.best_key is not None:
@@ -186,12 +202,24 @@ def train(
     best_metric = math.inf
     last_best_write = -10 ** 9
     best_unflushed = None  # (tree, meta) of a best improvement not yet on disk
+    best_probe = math.inf
+    if probe is not None and cfg.ckpt_path \
+            and os.path.exists(cfg.ckpt_path + ".stable"):
+        # continue the probe competition across curriculum stages / resumes
+        # instead of letting a later stage's first (worse) probe overwrite a
+        # better earlier .stable (callers delete stale files on fresh runs)
+        from percnn_tpu.core.checkpoint import peek_meta
 
-    def save(path_suffix=""):
+        prev = peek_meta(cfg.ckpt_path + ".stable").get("probe_score")
+        if prev is not None:
+            best_probe = float(prev)
+
+    def save(path_suffix="", extra: dict | None = None):
         if cfg.ckpt_path:
             path = cfg.ckpt_path + path_suffix
             save_checkpoint(path, state.as_tree(),
-                            {**state.meta(), **(extra_meta or {})})
+                            {**state.meta(), **(extra_meta or {}),
+                             **(extra or {})})
 
     try:
         while state.iteration < cfg.n_iters:
@@ -302,6 +330,17 @@ def train(
                         best_unflushed = (
                             state.as_tree(),
                             {**state.meta(), **(extra_meta or {})})
+
+            if (probe is not None and cfg.probe_every > 0
+                    and (state.iteration % cfg.probe_every < n_sub
+                         or state.iteration >= cfg.n_iters)):
+                score = float(probe(state.params))
+                if math.isfinite(score) and score < best_probe:
+                    best_probe = score
+                    save(".stable", {"probe_score": score})
+                if not math.isfinite(score) or state.iteration >= cfg.n_iters:
+                    logger.log(last, event="probe", score=score,
+                               best=best_probe)
 
             if cfg.ckpt_path and (state.iteration % cfg.ckpt_every < n_sub
                                   or state.iteration >= cfg.n_iters):

@@ -113,9 +113,14 @@ GS3D_RECON = ExperimentConfig(
     # restores the watchdog's LR backoff after restabilization: round-3
     # seed 0 spiked once late, kept the 0.185x scale, and finished
     # LR-starved at rel-L2 0.122 (loss 3.2e-3 vs 1.6e-3 healthy seeds).
+    # probe_every: full-inference-horizon stability probe + .stable ckpt —
+    # training-horizon watchdogs cannot see 1000-step rollout divergence
+    # (seed 4 round 4: trained "ok", .best diverged at frame ~731);
+    # spike_reset_opt: discard Adam moments on cascading rollbacks.
     train=TrainConfig(n_iters=12000, lr=2e-3, lr_step=250, lr_gamma=0.975,
                       watchdog=True, watchdog_key="phy", steps_per_call=10,
-                      spike_mult=10.0, best_key="loss", lr_recover=1.002),
+                      spike_mult=10.0, best_key="loss", lr_recover=1.002,
+                      spike_reset_opt=True, probe_every=250),
     loss_weights={"data": 10.0, "ic": 5.0},
     noise_pct=0.1,
     interp_method="linear",

@@ -361,6 +361,63 @@ def inference_rollout(params: dict, prob: Problem, n_steps: int) -> jnp.ndarray:
     return rollout(step, h0, n_steps, remat=False)
 
 
+def make_stability_probe(prob: Problem, n_steps: int):
+    """Stability probe over the full inference horizon (train(probe=...)).
+
+    Rolls the model out autonomously for ``n_steps`` (the evaluation
+    horizon, not the training segment) and returns the measurement
+    data-fit MSE if every frame is finite, else +inf.  Selection is
+    truth-free: only the noisy measurements the model trains on are
+    consulted.  Catches the failure mode the reference's watchdog cannot
+    (train_3drd.py:427-434 watches training loss only): params that are
+    stable over 300-step training segments but blow up over the 1000-step
+    inference rollout (GS3D seed 4, RESULTS.md round 4)."""
+    exp = prob.exp
+    nd = exp.cell.ndim
+
+    @jax.jit
+    def _metrics(params):
+        frames = inference_rollout(params, prob, n_steps)
+        finite = jnp.isfinite(frames).all()
+        tr, va = data_loss(frames[: exp.train_steps + 1], prob.measurement,
+                           exp.data, nd)
+        return finite, tr + va
+
+    def probe(params) -> float:
+        finite, fit = _metrics(params)
+        return float(fit) if bool(finite) else float("inf")
+
+    return probe
+
+
+def select_stable_candidate(params: dict, prob: Problem, ckpt_path: str,
+                            probe) -> tuple[dict, dict]:
+    """Post-training candidate selection: among the trainer-returned params
+    ('best'), the latest checkpoint and the probe's '.stable' checkpoint,
+    keep the one with the lowest finite probe score.
+
+    Extends the watchdog past training: the '.best'-by-training-loss params
+    can diverge at inference while a mid-training iterate is fine (GS3D
+    seed 4: .best diverges at frame ~731 of 1000, runs/round4/gs3d_seed4/
+    reval.json).  If no candidate probes stable, the trainer's params are
+    kept and evaluate() reports the divergence honestly.  Returns
+    (chosen_params, report dict)."""
+    from percnn_tpu.core.checkpoint import load_checkpoint_tree
+
+    candidates = {"best": params}
+    for tag, suffix in (("latest", ""), ("stable", ".stable")):
+        path = ckpt_path + suffix
+        if os.path.exists(path):
+            try:
+                candidates[tag] = load_checkpoint_tree(path)[0]["params"]
+            except Exception:
+                pass
+    scores = {tag: float(probe(p)) for tag, p in candidates.items()}
+    stable = {t: s for t, s in scores.items() if np.isfinite(s)}
+    choice = min(stable, key=stable.get) if stable else "best"
+    return candidates[choice], {"candidate": choice, "probe_scores": scores}
+
+
 def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     """Inference rollout + rel-L2 vs clean truth (the reference's headline
     accuracy metric).
@@ -368,10 +425,13 @@ def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     Divergence-aware: if the autonomous rollout goes non-finite (an
     unstable iterate can train to finite loss on 300-step segments yet
     blow up over the 1000-step eval horizon — GS3D seed 4, RESULTS.md
-    round 4), the rel-L2 metrics are computed over the finite prefix and
-    reported alongside ``stable_frames`` (frames before the first
-    non-finite one) and ``diverged`` instead of poisoning every metric
-    with NaN.  The reference's scripts would print nan in this case
+    round 4), the HEADLINE ``rel_l2*`` keys stay NaN — a diverged model
+    has no finite full-horizon accuracy, and a finite-looking headline
+    number would read as comparable to healthy rows (ADVICE round 4).
+    The finite-prefix accuracy is always available under the
+    ``rel_l2*_stable`` keys, alongside ``stable_frames`` (frames before
+    the first non-finite one) and ``diverged``.  The reference's scripts
+    print nan in this case with no prefix diagnostics at all
     (train_3drd.py:540-558 has no finite guard)."""
     frames = np.asarray(inference_rollout(params, prob, n_steps))
     t = min(frames.shape[0], prob.truth.shape[0])
@@ -383,13 +443,20 @@ def evaluate(params: dict, prob: Problem, n_steps: int) -> dict:
     ref = prob.truth[:s].reshape(s, -1).astype(np.float64)
     per_frame = np.linalg.norm(diff, axis=1) / np.maximum(
         np.linalg.norm(ref, axis=1), 1e-30)
+    diverged = stable < t
+    prefix = {
+        "rel_l2_stable": rel_l2(frames[:s], prob.truth[:s]),
+        "rel_l2_u_stable": rel_l2(frames[:s, ..., 0], prob.truth[:s, ..., 0]),
+        "rel_l2_v_stable": rel_l2(frames[:s, ..., 1], prob.truth[:s, ..., 1]),
+    }
     return {
-        "rel_l2": rel_l2(frames[:s], prob.truth[:s]),
-        "rel_l2_u": rel_l2(frames[:s, ..., 0], prob.truth[:s, ..., 0]),
-        "rel_l2_v": rel_l2(frames[:s, ..., 1], prob.truth[:s, ..., 1]),
-        "rel_l2_per_frame": per_frame,  # error-accumulation curve
+        "rel_l2": np.nan if diverged else prefix["rel_l2_stable"],
+        "rel_l2_u": np.nan if diverged else prefix["rel_l2_u_stable"],
+        "rel_l2_v": np.nan if diverged else prefix["rel_l2_v_stable"],
+        **prefix,
+        "rel_l2_per_frame": per_frame,  # error-accumulation curve (prefix)
         "stable_frames": stable,        # == t when the rollout stays finite
-        "diverged": stable < t,
+        "diverged": diverged,
         "frames": frames,
     }
 
@@ -495,6 +562,13 @@ def run_experiment(
 
         start_stage = min(int(peek_meta(ckpt_path).get("stage", 0)),
                           len(stages) - 1)
+    probe = None
+    if (exp.train.probe_every > 0 and prob.measurement is not None
+            and mesh is None):
+        probe = make_stability_probe(
+            prob, min(exp.infer_steps, truth.shape[0] - 1))
+        if not resume and os.path.exists(ckpt_path + ".stable"):
+            os.remove(ckpt_path + ".stable")  # stale: another run's params
     history = []
     for i, steps in enumerate(stages):
         if i < start_stage:
@@ -518,7 +592,8 @@ def run_experiment(
         largs = (problem_data(prob),) if mesh is None else ()
         params, h = train(loss_fn, params, tcfg, logger=logger,
                           resume=resume and i == start_stage,
-                          extra_meta={"stage": i}, loss_args=largs)
+                          extra_meta={"stage": i}, loss_args=largs,
+                          probe=probe)
         history.extend(h)
 
     if mesh is not None:
@@ -526,16 +601,24 @@ def run_experiment(
         # Pallas fast path) see ordinary committed-to-default arrays
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), params)
+    selection = {}
+    if probe is not None:
+        params, selection = select_stable_candidate(params, prob, ckpt_path,
+                                                    probe)
+        logger.log(n_total, candidate=selection["candidate"],
+                   **{f"probe_{t}": s
+                      for t, s in selection["probe_scores"].items()})
     metrics = evaluate(params, prob, min(exp.infer_steps, truth.shape[0] - 1))
     logger.log(n_total, final_rel_l2=metrics["rel_l2"],
                **({"stable_frames": metrics["stable_frames"],
+                   "rel_l2_stable": metrics["rel_l2_stable"],
                    "diverged": True} if metrics["diverged"] else {}))
     logger.close()
     try:
         _export_viz(exp, prob, params, metrics, truth, out_dir)
     except Exception:
         pass
-    result = {"params": params, "history": history, **metrics}
+    result = {"params": params, "history": history, **metrics, **selection}
     if exp.cell.kernel_size == 1:
         # closed-form polynomial the trained Pi-block represents (reference
         # get_expression, train_3drd.py:442-468)

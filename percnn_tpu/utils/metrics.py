@@ -20,6 +20,17 @@ def rel_l2(pred: np.ndarray, truth: np.ndarray) -> float:
     return float(np.linalg.norm(pred - truth) / np.linalg.norm(truth))
 
 
+def _json_safe(v):
+    """Recursively replace non-finite floats with None (strict-JSON-safe)."""
+    if isinstance(v, float):
+        return v if np.isfinite(v) else None
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_json_safe(x) for x in v]
+    return v
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (one dict per step)."""
 
@@ -45,7 +56,10 @@ class MetricsLogger:
                 rec[k] = float(v)
         self.history.append(rec)
         if self._f:
-            self._f.write(json.dumps(rec) + "\n")
+            # json.dumps emits bare NaN/Infinity tokens by default, which
+            # strict JSON parsers reject — map non-finite floats to null in
+            # the on-disk stream (history keeps the raw floats)
+            self._f.write(json.dumps(_json_safe(rec), allow_nan=False) + "\n")
         # echo every record (callers already rate-limit how often they log;
         # keying on `step % echo_every` missed records logged at off-grid
         # steps like iteration-1)

@@ -197,6 +197,41 @@ def test_ensemble_discovery_aggregates_and_quantifies_uncertainty(tmp_path):
     assert np.isfinite(res["stage3"]["history"]).all()
 
 
+def test_ensemble_discovery_auto_aggregate_guard(tmp_path):
+    """aggregate='auto' must score BOTH aggregation modes by truth-free
+    member cross-validation and keep the better one (VERDICT round 4: the
+    median aggregate silently destroyed Burgers-30% Stage-2, precision
+    0.19 vs mean's 1.0 — 'auto' is the guard)."""
+    from percnn_tpu.experiments.pipeline import run_ensemble_discovery
+
+    exp = _small_burgers()
+    truth = simulate("burgers", default_ic("burgers", 32, seed=1), 80,
+                     exp.dt, exp.dx)
+    truth = np.asarray(truth)
+    rng = np.random.RandomState(0)
+    paths = []
+    for k in range(3):
+        sigma = 0.02 * truth.std(axis=(0, 1, 2), keepdims=True)
+        member = truth + sigma * rng.randn(*truth.shape)
+        p = str(tmp_path / f"member{k}.npz")
+        save_npz(p, member.astype(np.float32))
+        paths.append(p)
+
+    res = run_ensemble_discovery(
+        exp, 3, out_dir=str(tmp_path), cache_dir=None,
+        member_recons=paths, aggregate="auto",
+        stage2_frames=slice(0, 60), stage2_subsample=1.0,
+        stage3_iters=20,
+    )
+    cv = res["aggregate_cv"]
+    assert set(cv) == {"choice", "mean", "median"}
+    assert np.isfinite(cv["mean"]) and np.isfinite(cv["median"])
+    assert res["aggregate"] == cv["choice"] == min(
+        ("mean", "median"), key=lambda m: cv[m])
+    assert os.path.exists(
+        str(tmp_path / f"{exp.name}.stage1_recon.ens_{cv['choice']}.npz"))
+
+
 def test_stage3_from_saved_coefs(tmp_path):
     """Stage-3-only entry (`run_stage3_from_coefs` / CLI --stage2-coefs):
     fine-tune from a saved *.stage2_coefs.npz without Stage-1/2 — the

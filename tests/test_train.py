@@ -3,6 +3,7 @@ and a small end-to-end forward-sim slice."""
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 import jax
@@ -418,8 +419,10 @@ def test_best_key_typo_raises():
 
 def test_evaluate_divergence_aware():
     """An iterate can train to finite loss on short segments yet blow up
-    over the long eval horizon (GS3D seed 4, RESULTS.md round 4); evaluate
-    must report the finite prefix + stable_frames instead of NaN metrics."""
+    over the long eval horizon (GS3D seed 4, RESULTS.md round 4).  The
+    HEADLINE rel_l2 must stay NaN for a diverged rollout — a finite prefix
+    number would read as comparable to healthy rows (ADVICE round 4) — with
+    the finite-prefix accuracy under the *_stable keys + stable_frames."""
     from percnn_tpu.core.cell import init_pi_cell
 
     cfg = FORWARD_SIM_LO.cell
@@ -430,18 +433,98 @@ def test_evaluate_divergence_aware():
 
     cell = init_pi_cell(jax.random.PRNGKey(0), cfg)
 
-    # healthy params: full horizon, no divergence flag
+    # healthy params: full horizon, no divergence flag, headline == stable
     m = R.evaluate({"cell": cell}, prob, 30)
     assert not m["diverged"] and m["stable_frames"] == 31
     assert np.isfinite(m["rel_l2"])
+    assert m["rel_l2"] == m["rel_l2_stable"]
 
-    # exploded params: finite-prefix metrics + divergence report
+    # exploded params: headline NaN, prefix metrics under *_stable
     boom = jax.tree_util.tree_map(lambda x: x * 1e6, cell)
     m = R.evaluate({"cell": boom}, prob, 30)
     assert m["diverged"] and 1 <= m["stable_frames"] < 31
     for k in ("rel_l2", "rel_l2_u", "rel_l2_v"):
-        assert np.isfinite(m[k]), k
+        assert np.isnan(m[k]), k
+        assert np.isfinite(m[k + "_stable"]), k
     assert np.isfinite(m["rel_l2_per_frame"]).all()
+
+
+def test_metrics_logger_jsonl_is_strict_json(tmp_path):
+    """Non-finite floats must land as null in the JSONL stream (bare NaN
+    tokens are non-standard JSON and break strict parsers — ADVICE r4)."""
+    import json
+
+    from percnn_tpu.utils.metrics import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(path)
+    lg.log(0, a=float("nan"), b=float("inf"), c=1.5, d=[1.0, float("nan")])
+    lg.close()
+    rec = json.loads(open(path).read())
+    assert rec["a"] is None and rec["b"] is None and rec["c"] == 1.5
+    assert rec["d"] == [1.0, None]
+    # in-process history keeps the raw floats
+    assert math.isnan(lg.history[0]["a"])
+
+
+def test_probe_checkpoints_stable_iterate(tmp_path):
+    """train(probe=...) must checkpoint the best-scoring STABLE iterate to
+    .stable — including when later (lower-training-loss) iterates go
+    probe-unstable, the exact GS3D failure mode (seed 4, round 4)."""
+    ckpt = str(tmp_path / "p.npz")
+
+    def loss_fn(p):
+        l = jnp.sum((p["w"] - 3.0) ** 2)
+        return l, {"val": l}
+
+    # probe: "stable" only while w < 2 — training walks w from 0 toward 3,
+    # so early iterates probe stable and late ones do not
+    def probe(p):
+        w = float(np.mean(np.asarray(p["w"])))
+        return abs(w) if w < 2.0 else float("inf")
+
+    cfg = TrainConfig(n_iters=60, lr=0.2, lr_step=1000, probe_every=5,
+                      ckpt_path=ckpt, ckpt_every=5, steps_per_call=5)
+    params, _ = train(loss_fn, {"w": jnp.zeros(3)}, cfg, probe=probe)
+    assert float(np.mean(np.asarray(params["w"]))) > 2.5  # training converged
+    from percnn_tpu.core.checkpoint import load_checkpoint_tree, peek_meta
+
+    tree, meta = load_checkpoint_tree(ckpt + ".stable")
+    w_stable = float(np.mean(np.asarray(tree["params"]["w"])))
+    assert w_stable < 2.0  # the checkpointed iterate is probe-stable
+    assert math.isfinite(meta["probe_score"])
+
+    # candidate selection: stable beats best/latest when they probe inf
+    prob = None  # select_stable_candidate only touches prob via probe
+    chosen, rep = R.select_stable_candidate(params, prob, ckpt, probe)
+    assert rep["candidate"] == "stable"
+    assert float(np.mean(np.asarray(chosen["w"]))) == w_stable
+    assert not np.isfinite(rep["probe_scores"]["best"])
+
+    # when every candidate is stable, the lowest score wins
+    ok_probe = lambda p: float(np.mean(np.asarray(p["w"])))
+    chosen2, rep2 = R.select_stable_candidate(params, prob, ckpt, ok_probe)
+    assert rep2["candidate"] == "stable"  # smallest w => smallest score
+
+
+def test_run_experiment_probe_selects_stable(tmp_path):
+    """End-to-end: a probe-enabled experiment records the candidate choice
+    and returns finite headline metrics when a stable iterate exists."""
+    exp = dataclasses.replace(
+        GS2D_RECON, grid=16, train_steps=8, infer_steps=10, curriculum=(),
+        train=dataclasses.replace(GS2D_RECON.train, n_iters=12,
+                                  steps_per_call=4, ckpt_every=4,
+                                  probe_every=4, best_key=None,
+                                  best_val=False),
+        data=dataclasses.replace(GS2D_RECON.data, time_stride=2,
+                                 space_stride=2),
+        isg_pretrain_iters=4,
+    )
+    res = R.run_experiment(exp, out_dir=str(tmp_path), cache_dir=None,
+                           seed=0)
+    assert res["candidate"] in ("best", "latest", "stable")
+    assert np.isfinite(res["probe_scores"][res["candidate"]])
+    assert os.path.exists(str(tmp_path / "gs2d_recon.ckpt.npz.stable"))
 
 
 def test_spike_reset_opt_reinits_moments_on_repeat_rollback(tmp_path):

@@ -129,7 +129,12 @@ def gs3d_rollout(lat):
     @jax.jit
     def many(h):
         def body(i, x):
-            return fused_rollout_3d(params, x, cfg, T3D)[-1]
+            # final_only + unroll=2: no per-step HBM frame writes, two cell
+            # steps per grid iteration (round-5 probe: 7.84 G vs 5.4 G with
+            # frame writes, runs/round5/bench3d_probe.jsonl) — matches the
+            # 2D bench's final-state kernel methodology.
+            return fused_rollout_3d(params, x, cfg, T3D, final_only=True,
+                                    unroll=2)
         return lax.fori_loop(0, reps, body, h)
 
     per_rollout = _timeit(many, (h0,), reps, lat)

@@ -30,6 +30,11 @@ from percnn_tpu.experiments.runner import run_experiment  # noqa: E402
 OUT = "runs/round4"
 os.makedirs(OUT, exist_ok=True)
 RESULTS = os.path.join(OUT, "multichip_midscale3d.jsonl")
+# one ISG pretrain shared by both variants (the costliest CPU stage; the
+# ISG sees only the seeded noisy IC, identical across variants).  The TPU
+# queue pre-generates this checkpoint; if absent, the first variant
+# pretrains and saves it for the second.
+ISG_SHARED = os.path.join(OUT, "midscale3d_isg.npz")
 
 # full reference grid, shortened schedule: one 400-iter stage at the
 # reference's first-stage rollout length keeps the CPU-mesh wall-clock
@@ -56,7 +61,8 @@ def variant(tag, **kwargs):
     # (run dirs are force-committed periodically by the CPU chain)
     resume = os.path.exists(os.path.join(out_dir, f"{EXP.name}.ckpt.npz"))
     res = run_experiment(EXP, out_dir=out_dir, resume=resume,
-                         cache_dir="data_cache", seed=0, **kwargs)
+                         cache_dir="data_cache", seed=0,
+                         isg_params_path=ISG_SHARED, **kwargs)
     row = {"variant": tag, "rel_l2": float(res["rel_l2"]),
            "final_loss": float(res["history"][-1]),
            "minutes": (time.time() - t0) / 60}

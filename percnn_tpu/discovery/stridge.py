@@ -65,23 +65,34 @@ class _GramSolver:
                  + w.T @ (self.G @ w)) / self.n).item()
 
 
+def _must_have_set(must_have) -> set:
+    """Normalise the must_have argument (None | int | iterable of ints)."""
+    if must_have is None:
+        return set()
+    if isinstance(must_have, (int, np.integer)):
+        return {int(must_have)}
+    return {int(i) for i in must_have}
+
+
 def _stridge_inner(
     train: _GramSolver,
     lam: float,
     n_iters: int,
     tol: float,
-    must_have: int | None,
+    must_have,
 ) -> np.ndarray:
     """Sequential threshold ridge on an already-normalised design."""
     d = train.d
+    forced = _must_have_set(must_have)
     w = train.ridge(lam)
     biginds = list(np.where(np.abs(w) > tol)[0])
     num_relevant = d
     for j in range(n_iters):
         smallinds = np.where(np.abs(w) < tol)[0]
         new_biginds = [i for i in range(d) if i not in set(smallinds)]
-        if must_have is not None and must_have not in new_biginds:
-            new_biginds = sorted(new_biginds + [must_have])
+        missing = forced - set(new_biginds)
+        if missing:
+            new_biginds = sorted(new_biginds + list(missing))
         if num_relevant == len(new_biginds):
             break
         num_relevant = len(new_biginds)
@@ -137,7 +148,7 @@ class STRidge:
         d_tol: float = 20.0,
         l0_penalty: float | None = None,
         kappa: float = 1.0,
-        must_have: int | None = None,
+        must_have: "int | list[int] | None" = None,
         verbose: bool = False,
     ) -> np.ndarray:
         """Returns the de-normalised coefficient vector [d, 1]."""
@@ -194,7 +205,7 @@ def pareto_sweep(
     stridge_iters: int = 20,
     lam: float = 1e-4,
     d_tol: float = 5.0,
-    must_have: int | None = None,
+    must_have: "int | list[int] | None" = None,
 ):
     """Sweep the l0 weight gamma = 0.01 * 1.2^i, i < 45 (LO stage-2
     PDE_FIND_u.py:297-335); returns (gammas, ls_loss, l0_count, ws)."""

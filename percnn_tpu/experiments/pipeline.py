@@ -140,8 +140,30 @@ def run_stage2(
     if exp.system == "lambda_omega":
         sweep_kw = dict(maxit=kw["maxit"], stridge_iters=kw["stridge_iters"],
                         lam=kw["lam"], d_tol=kw["d_tol"])
-        w_u, pareto_u = pareto_select(STRidge(R, Ut), **sweep_kw)
-        w_v, pareto_v = pareto_select(STRidge(R, Vt), **sweep_kw)
+        yu, yv, mh = Ut, Vt, {"u": None, "v": None}
+        if exp.noise_pct >= 0.25:
+            # High-noise λ–Ω identifiability fix (round-5 study,
+            # runs/round5/lo30_v_study.jsonl + lo30_v_diag.jsonl): on the
+            # limit cycle A² = u²+v² ≈ 1 the terms {v, u²v, v³} collapse to
+            # v·(1−A²) ≈ 0 and −u·A² onto −u, so at 30% noise a wrong
+            # cross-Laplacian support fits the v-equation *better* than the
+            # truth and no (residual, L0) sweep can visit it.  Reweighting
+            # rows by the off-attractor distance √|1−A²| restores
+            # identifiability, and protecting the diffusion + linear
+            # columns (the reference's must_have analog, PDE_FIND_u.py:49)
+            # anchors the search.  Recovers the published 30% answer shape
+            # — 6 true terms + the reference's own spurious u at ≈−0.19
+            # (LO stage-2 PDE_FIND_v.py 30% row).
+            iu, iv = names.index("u*ones"), names.index("v*ones")
+            amp2 = R[:, iu: iu + 1] ** 2 + R[:, iv: iv + 1] ** 2
+            sw = np.sqrt(np.abs(1.0 - amp2) + 1e-3)
+            R, yu, yv = R * sw, Ut * sw, Vt * sw
+            mh = {"u": [names.index("ones*lap_u"), iu],
+                  "v": [names.index("ones*lap_v"), iv]}
+        w_u, pareto_u = pareto_select(STRidge(R, yu), must_have=mh["u"],
+                                      **sweep_kw)
+        w_v, pareto_v = pareto_select(STRidge(R, yv), must_have=mh["v"],
+                                      **sweep_kw)
         s2 = {"w_u": w_u, "w_v": w_v, "names": names,
               "pareto_u": pareto_u, "pareto_v": pareto_v}
     else:

@@ -523,6 +523,7 @@ def run_experiment(
     seed: int = 0,
     mesh=None,
     parallel_impl: str = "halo",
+    isg_params_path: str | None = None,
 ) -> dict:
     """Full pipeline: data -> (ISG pretrain) -> curriculum train -> eval.
 
@@ -547,10 +548,25 @@ def run_experiment(
     params = init_model(exp, jax.random.PRNGKey(seed), dtype)
 
     if exp.isg is not None and not resume:
-        n_pre = isg_pretrain_override if isg_pretrain_override is not None else exp.isg_pretrain_iters
-        params["isg"] = pretrain_isg(
-            build_isg_pretrain_loss(prob), params["isg"], n_iters=n_pre, logger=logger
-        )
+        if isg_params_path is not None and os.path.exists(isg_params_path):
+            # shared ISG pretrain: the ISG upsampler sees only the (seeded)
+            # noisy IC, so variants of the same experiment/seed (e.g. the
+            # single vs halo multi-chip validations) can reuse one pretrain
+            # instead of repeating the costliest CPU stage per variant.
+            from percnn_tpu.core.checkpoint import load_checkpoint
+
+            params["isg"] = load_checkpoint(isg_params_path,
+                                            params["isg"])[0]
+        else:
+            n_pre = isg_pretrain_override if isg_pretrain_override is not None else exp.isg_pretrain_iters
+            params["isg"] = pretrain_isg(
+                build_isg_pretrain_loss(prob), params["isg"], n_iters=n_pre, logger=logger
+            )
+            if isg_params_path is not None:
+                from percnn_tpu.core.checkpoint import save_checkpoint
+
+                save_checkpoint(isg_params_path, params["isg"],
+                                {"experiment": exp.name, "seed": seed})
 
     stages = list(exp.curriculum) + [exp.train_steps]
     n_total = n_iters_override if n_iters_override is not None else exp.train.n_iters

@@ -79,17 +79,7 @@ def _pi_poly(u, v, p, base: int, C: int):
     return acc + p[base + 3 * stride + C]
 
 
-def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
-                      cfg: PiCellConfig, D: int, H: int, W: int):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        su_ref[:, :] = init_ref[0, :, :]
-        sv_ref[:, :] = init_ref[1, :, :]
-
-    u = su_ref[:, :]
-    v = sv_ref[:, :]
+def _step_flat(u, v, p_ref, *, cfg: PiCellConfig, D: int, H: int, W: int):
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
     C = cfg.hidden
     block = 3 * (3 * C) + C + 1
@@ -99,26 +89,63 @@ def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
     pi_v = _pi_poly(u, v, p_ref, 2 + block, C)
     un = u + cfg.dt * (p_ref[0] * lap_u + pi_u)
     vn = v + cfg.dt * (p_ref[1] * lap_v + pi_v)
-    su_ref[:, :] = un
-    sv_ref[:, :] = vn
-    out_ref[0, 0, :, :] = un
-    out_ref[0, 1, :, :] = vn
+    return un, vn
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "D", "H", "W", "interpret"))
-def _fused_rollout3d_flat(packed, state0, *, cfg, n_steps, D, H, W, interpret):
-    kernel = functools.partial(_rollout3d_kernel, cfg=cfg, D=D, H=H, W=W)
+def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
+                      cfg: PiCellConfig, D: int, H: int, W: int,
+                      unroll: int, final_only: bool, n_iters: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        su_ref[:, :] = init_ref[0, :, :]
+        sv_ref[:, :] = init_ref[1, :, :]
+
+    u = su_ref[:, :]
+    v = sv_ref[:, :]
+    for k in range(unroll):
+        u, v = _step_flat(u, v, p_ref, cfg=cfg, D=D, H=H, W=W)
+        if not final_only:
+            out_ref[k, 0, :, :] = u
+            out_ref[k, 1, :, :] = v
+    su_ref[:, :] = u
+    sv_ref[:, :] = v
+    if final_only:
+        @pl.when(t == n_iters - 1)
+        def _():
+            out_ref[0, :, :] = u
+            out_ref[1, :, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_steps", "D", "H", "W", "interpret", "unroll", "final_only"))
+def _fused_rollout3d_flat(packed, state0, *, cfg, n_steps, D, H, W,
+                          interpret, unroll=1, final_only=False):
+    n_iters = n_steps // unroll
+    kernel = functools.partial(_rollout3d_kernel, cfg=cfg, D=D, H=H, W=W,
+                               unroll=unroll, final_only=final_only,
+                               n_iters=n_iters)
+    if final_only:
+        out_specs = pl.BlockSpec((2, D, H * W), lambda t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, D, H * W), jnp.float32)
+    else:
+        # block of `unroll` consecutive frames per grid iteration
+        out_specs = pl.BlockSpec((unroll, 2, D, H * W),
+                                 lambda t: (t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_steps, 2, D, H * W), jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_iters,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, D, H * W), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, D, H * W), lambda t: (t, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, 2, D, H * W), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((D, H * W), jnp.float32),
             pltpu.VMEM((D, H * W), jnp.float32),
@@ -134,11 +161,19 @@ def fused_rollout_3d(
     n_steps: int,
     *,
     interpret: bool | None = None,
+    unroll: int = 1,
+    final_only: bool = False,
 ) -> jnp.ndarray:
     """[D, H, W, 2] -> [n_steps+1, D, H, W, 2] fused rollout (frame 0 = h0).
 
     Requires D % 8 == 0 and (H*W) % 128 == 0 (true for the 48^3 reference
     grid); other sizes use the jnp path.
+
+    ``final_only=True`` returns just the final state [D, H, W, 2] without
+    per-step HBM frame writes (~25% of the step cost at 48^3, round-5 probe
+    runs/round5/bench3d_probe.jsonl); ``unroll`` fuses that many cell steps
+    per grid iteration (amortises the grid/revisit overhead; 2 is the
+    measured sweet spot).  n_steps must be divisible by unroll.
     """
     if cfg.kernel_size != 1 or cfg.n_branches != 3:
         raise NotImplementedError(
@@ -146,13 +181,17 @@ def fused_rollout_3d(
     D, H, W = h0.shape[0], h0.shape[1], h0.shape[2]
     if D % 8 != 0 or (H * W) % 128 != 0:
         raise ValueError(f"grid {D}x{H}x{W} not tile-aligned for the fused 3D kernel")
+    if n_steps % unroll != 0:
+        raise ValueError(f"n_steps={n_steps} not divisible by unroll={unroll}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     packed = pack_pi_params_2d(params, cfg)
     state0 = jnp.moveaxis(h0.astype(jnp.float32), -1, 0).reshape(2, D, H * W)
-    frames = _fused_rollout3d_flat(
+    out = _fused_rollout3d_flat(
         packed, state0, cfg=cfg, n_steps=n_steps, D=D, H=H, W=W,
-        interpret=interpret,
+        interpret=interpret, unroll=unroll, final_only=final_only,
     )
-    out = jnp.moveaxis(frames.reshape(n_steps, 2, D, H, W), 1, -1)
+    if final_only:
+        return jnp.moveaxis(out.reshape(2, D, H, W), 0, -1)
+    out = jnp.moveaxis(out.reshape(n_steps, 2, D, H, W), 1, -1)
     return jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)

@@ -48,6 +48,49 @@ def test_stridge_must_have_protection():
     assert w[5] != 0.0
 
 
+def test_stridge_must_have_multi_column():
+    """must_have accepts a list: every forced column survives thresholding
+    (the λ–Ω high-noise protocol protects [lap, linear] per equation)."""
+    rng = np.random.RandomState(4)
+    n, d = 2000, 10
+    X = rng.randn(n, d)
+    w_true = np.zeros((d, 1))
+    w_true[0] = 2.0
+    w_true[3] = 1e-3
+    w_true[5] = 1e-3
+    y = X @ w_true
+    tr = STRidge(X, y, normalize=2)
+    w = tr.train(maxit=30, stridge_iters=20, lam=1e-5, d_tol=5.0,
+                 must_have=[3, 5])
+    assert w[3] != 0.0 and w[5] != 0.0
+
+
+def test_stage2_high_noise_lo_protocol():
+    """run_stage2 at λ–Ω noise_pct >= 0.25 switches to the off-attractor
+    weighted sweep with per-equation [lap, linear] must_have (round-5
+    identifiability fix, runs/round5/lo30_v_study.jsonl): on a clean
+    simulation the full true support of BOTH equations must be recovered
+    with the protected columns present."""
+    import dataclasses
+
+    from percnn_tpu.experiments.configs import LO_STAGE1
+    from percnn_tpu.experiments.pipeline import TRUTH_TERMS, run_stage2
+
+    exp = dataclasses.replace(LO_STAGE1, grid=64, noise_pct=0.3)
+    h0 = default_ic("lambda_omega", 64, seed=1)
+    h0 = simulate("lambda_omega", h0, 40, exp.dt, exp.dx)[-1]
+    roll = simulate("lambda_omega", h0, 60, exp.dt, exp.dx)
+    s2 = run_stage2(exp, np.asarray(roll), frames=slice(0, 60),
+                    subsample=1.0, kwargs=dict(maxit=10, stridge_iters=10))
+    names = s2["names"]
+    for eq in ("u", "v"):
+        w = np.ravel(s2[f"w_{eq}"])
+        sup = {names[i] for i in np.flatnonzero(np.abs(w) > 1e-12)}
+        assert f"ones*lap_{eq}" in sup and f"{eq}*ones" in sup, (eq, sup)
+        missing = set(TRUTH_TERMS["lambda_omega"][eq]) - sup
+        assert not missing, (eq, missing, sup)
+
+
 @pytest.mark.parametrize(
     "system,dt,dx,noise,stridge_kwargs,truth_terms",
     [

@@ -110,6 +110,32 @@ def test_fused_rollout_3d_matches_jnp():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5)
 
 
+def test_fused_rollout_3d_final_only_and_unroll():
+    """final_only/unroll variants (the bench's no-frame-writes path) must
+    agree with the frames path: unrolled frames land in the right slots and
+    the final state matches."""
+    from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
+
+    cfg = PiCellConfig(ndim=3, hidden=2, kernel_size=1, dt=0.5, dx=2.08,
+                       diffusion="sigmoid", mu_up=0.274, init_scale=0.01)
+    params = init_pi_cell(jax.random.PRNGKey(0), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 16, 2),
+                                 jnp.float32)
+    ref = np.asarray(fused_rollout_3d(params, h0, cfg, 6, interpret=True))
+    fr2 = np.asarray(fused_rollout_3d(params, h0, cfg, 6, unroll=2,
+                                      interpret=True))
+    np.testing.assert_allclose(fr2, ref, rtol=2e-4, atol=1e-5)
+    fin = np.asarray(fused_rollout_3d(params, h0, cfg, 6, final_only=True,
+                                      interpret=True))
+    np.testing.assert_allclose(fin, ref[-1], rtol=2e-4, atol=1e-5)
+    fin2 = np.asarray(fused_rollout_3d(params, h0, cfg, 6, final_only=True,
+                                       unroll=2, interpret=True))
+    np.testing.assert_allclose(fin2, ref[-1], rtol=2e-4, atol=1e-5)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fused_rollout_3d(params, h0, cfg, 5, unroll=2, interpret=True)
+
+
 def test_fused_rollout_3d_rejects_unaligned():
     from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
 

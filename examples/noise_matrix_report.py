@@ -54,7 +54,11 @@ def main(path="runs/round3/queue_results.jsonl"):
         print("|---|---|---|---|---|---|---|---|")
         for pct in (0, 5, 10, 20, 30):
             r = rows.get((system, pct))
-            mark = "*" if r is not None and r["tag"].endswith("_full") else ""
+            mark = ""
+            if r is not None and r["tag"].endswith("_full"):
+                mark = "*"
+            elif r is not None and r["tag"].endswith("_ens"):
+                mark = "†"
             for eq in ("u", "v"):
                 ref = REF[(system, eq)][pct]
                 if r is None:
@@ -77,7 +81,9 @@ def main(path="runs/round3/queue_results.jsonl"):
                       f"{spur} vs {ref['spurious']} | "
                       f"{s1 if s1 is None else f'{s1:.3g}'} | "
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
-        print("\n(* = reference-budget Stage-1 redo row)")
+        print("\n(* = reference-budget Stage-1 redo row; † = 4-member "
+              "init-seed-ensemble Stage-1 + stability-selection Stage-2 "
+              "with the round-5 high-noise identifiability fix)")
 
     import os
     full_path = os.path.join(os.path.dirname(path) or ".",

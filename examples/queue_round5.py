@@ -184,9 +184,12 @@ def lo30_fix():
 
     exp = dataclasses.replace(EXPERIMENTS["lo_stage1"], noise_pct=0.3)
     d = os.path.join(OUT, "ens_lo30_fix")
+    # no stability draws: the high-noise protocol regresses the FULL
+    # design matrix (pipeline.run_stage2), so every subsample draw is
+    # identical and the single fit is already deterministic
     res = run_ensemble_discovery(
         exp, 4, out_dir=d, cache_dir="data_cache",
-        member_recons=LO30_MEMBERS, aggregate="mean", stage2_draws=8)
+        member_recons=LO30_MEMBERS, aggregate="mean")
 
     # per-member rows (UQ story)
     for m in res["members"]:

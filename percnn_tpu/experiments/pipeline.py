@@ -304,6 +304,14 @@ def run_discovery_pipeline(
                           f"pareto_ls_{eq}": pr["ls_loss"],
                           f"pareto_l0_{eq}": pr["l0_count"],
                           f"pareto_gamma_{eq}": pr["selected_gamma"]})
+            try:
+                from percnn_tpu.viz.plots import pareto_panel
+
+                pareto_panel(pr["gammas"], pr["ls_loss"], pr["l0_count"],
+                             os.path.join(out_dir, f"select_gamma_{eq}.png"),
+                             selected_gamma=pr["selected_gamma"], eq=eq)
+            except Exception:
+                pass  # viz is best-effort, like runner._export_viz
     np.savez(os.path.join(out_dir, f"{exp.name}.stage2_coefs.npz"),
              w_u=w_u, w_v=w_v, names=np.asarray(s2["names"]), **extra)
 

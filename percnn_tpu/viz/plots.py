@@ -117,6 +117,50 @@ def measurement_panel(
     plt.close(fig)
 
 
+def pareto_panel(
+    gammas,
+    ls_loss,
+    l0_count,
+    path: str,
+    *,
+    selected_gamma: float | None = None,
+    eq: str = "u",
+):
+    """Pareto-front gamma-sweep figure — the reference's select_gamma_u.png
+    (LO stage-2 PDE_FIND_u.py:297-335): regression error and L0 count on
+    twin y-axes over a log-scale gamma axis, with the automated knee the
+    pipeline selected marked (the reference picks gamma by eye from this
+    plot; pareto_select picks the knee programmatically)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gammas = np.asarray(gammas, dtype=float)
+    fig, ax1 = plt.subplots(figsize=(7.0, 4.5))
+    fig.subplots_adjust(bottom=0.2)
+    ax1.plot(gammas, np.asarray(ls_loss, dtype=float), marker="o",
+             markersize=4, color="dodgerblue", label="regression error")
+    ax1.set_xscale("log")
+    ax1.set_xlabel(r"$\gamma$", fontsize=14)
+    ax1.set_ylabel(r"$\|\Phi\,\Xi - Z\|_2$", color="dodgerblue", fontsize=13)
+    ax1.tick_params(axis="y", colors="dodgerblue", direction="in")
+    ax2 = ax1.twinx()
+    ax2.plot(gammas, np.asarray(l0_count, dtype=float), marker="o",
+             markersize=4, color="orangered", label=r"$\ell_0$ count")
+    ax2.set_ylabel(r"$\|\Xi\|_0$", color="orangered", fontsize=13)
+    ax2.tick_params(axis="y", colors="orangered", direction="in")
+    if selected_gamma is not None:
+        ax1.axvline(float(selected_gamma), color="gray", linestyle="--",
+                    linewidth=1.2)
+        ax1.annotate(f"knee $\\gamma$={float(selected_gamma):.3g}",
+                     xy=(float(selected_gamma), max(np.asarray(ls_loss))),
+                     fontsize=10, color="gray", ha="left")
+    fig.suptitle(f"Stage-2 Pareto sweep ({eq}-equation)", fontsize=12)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def frame_series(
     frames: np.ndarray,
     truth: np.ndarray,

@@ -106,6 +106,22 @@ def test_viz_panels(tmp_path):
     assert os.path.exists(q) or os.path.exists(q.replace(".html", ".png"))
 
 
+def test_pareto_panel(tmp_path):
+    """The reference's select_gamma_u.png artifact (LO stage-2
+    PDE_FIND_u.py:297-335): run_discovery_pipeline writes one per equation
+    whenever the Pareto sweep ran; the viz helper must render the twin-axis
+    figure with the knee marked."""
+    pytest.importorskip("matplotlib")
+    from percnn_tpu.viz.plots import pareto_panel
+
+    gammas = [0.01 * 1.2 ** i for i in range(20)]
+    ls = np.linspace(1e-4, 2e-3, 20)
+    l0 = np.linspace(40, 5, 20).round()
+    p = str(tmp_path / "select_gamma_u.png")
+    pareto_panel(gammas, ls, l0, p, selected_gamma=gammas[10], eq="u")
+    assert os.path.getsize(p) > 0
+
+
 def test_cli_list_and_simulate(tmp_path, capsys):
     from percnn_tpu.__main__ import main
 

@@ -20,6 +20,7 @@ from percnn_tpu.core.rollout import chunked_param_grads
 from percnn_tpu.ops.pallas.cell3d import (
     _fused_rollout3d_flat,
     _lap3d_flat,
+    pack_pi_expanded_3d,
     pack_pi_params_3d,
 )
 
@@ -140,9 +141,11 @@ def _forward3d(params, h0, cfg, n_steps):
     interpret = jax.default_backend() != "tpu"
     packed = pack_pi_params_3d(params, cfg)
     state0 = jnp.moveaxis(h0.astype(jnp.float32), -1, 0).reshape(2, D, H * W)
+    # forward runs the expanded-cubic fast path; `packed` (literal branch
+    # form) is what the phase-1/phase-2 grad kernels consume
     frames_flat = _fused_rollout3d_flat(
-        packed, state0, cfg=cfg, n_steps=n_steps, D=D, H=H, W=W,
-        interpret=interpret,
+        pack_pi_expanded_3d(params, cfg), state0, cfg=cfg, n_steps=n_steps,
+        D=D, H=H, W=W, interpret=interpret, expanded=True,
     )
     out = jnp.moveaxis(frames_flat.reshape(n_steps, 2, D, H, W), 1, -1)
     frames = jnp.concatenate([h0.astype(jnp.float32)[None], out], axis=0)

@@ -92,9 +92,140 @@ def _step_flat(u, v, p_ref, *, cfg: PiCellConfig, D: int, H: int, W: int):
     return un, vn
 
 
+# --------------------------------------------------------------------------
+# Expanded-update fast path.  The k=1 Pi block is a product of three affine
+# forms in (u, v) summed over hidden channels — algebraically a single
+# bivariate cubic with 10 monomial coefficients per output equation.  The
+# naive evaluation costs ~33 vector ops per equation (branch affines,
+# products, output head); the expanded form costs 7 SHARED monomial products
+# + 12 FMAs per equation, with the coefficients computed once OUTSIDE the
+# kernel from the cell params (scalar work, jit-fused).  dt, the effective
+# diffusion nu, 1/dx^2, the 4th-order stencil weights and the Laplacian
+# center tap all fold into the same scalars, and the width-wrap lane masks
+# hoist out of the per-shift helper, so a step is 16 rolls + 4 selects +
+# ~33 arith ops per equation instead of ~70+ (the round-5 probe measured
+# the old step VPU-issue-bound at ~14 us on 48^3,
+# runs/round5/bench3d_probe.jsonl).
+# --------------------------------------------------------------------------
+
+EXPANDED_ROW = 12  # [k1, k2, const, u, v, u2, uv, v2, u3, u2v, uv2, v3]
+
+
+def pack_pi_expanded_3d(params: dict, cfg: PiCellConfig) -> jnp.ndarray:
+    """Flatten cell params to the expanded per-equation update coefficients.
+
+    Returns f32 [2 * EXPANDED_ROW]: per output equation eq,
+      k1 = dt * nu_eq / dx^2 * 4/3        (1st-neighbour stencil weight)
+      k2 = -dt * nu_eq / dx^2 / 12        (2nd-neighbour stencil weight)
+      then the dt-scaled cubic coefficients of the expanded Pi polynomial
+      [const, u, v, u^2, uv, v^2, u^3, u^2 v, u v^2, v^3], with the
+      Laplacian center tap (-15/2 * dt * nu / dx^2) folded into the linear
+      coefficient of the equation's own field.
+    """
+    from percnn_tpu.core.cell import effective_diffusion
+
+    C = cfg.hidden
+    nu = effective_diffusion(params, cfg).astype(jnp.float32)
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+    dt = cfg.dt
+    rows = []
+    for eq in range(cfg.channels):
+        br = params["pi"][eq]
+        a, b, c = [], [], []
+        for i in range(cfg.n_branches):
+            w = br[f"w{i}"].reshape(2, C).astype(jnp.float32)
+            a.append(w[0])
+            b.append(w[1])
+            c.append(br[f"b{i}"].reshape(C).astype(jnp.float32))
+        # y1*y2 = A u^2 + B uv + Cq v^2 + Dq u + E v + F   (per hidden ch)
+        A = a[0] * a[1]
+        B = a[0] * b[1] + b[0] * a[1]
+        Cq = b[0] * b[1]
+        Dq = a[0] * c[1] + c[0] * a[1]
+        E = b[0] * c[1] + c[0] * b[1]
+        F = c[0] * c[1]
+        mono = {  # (y1*y2)*y3 expanded, per hidden channel
+            "u3": A * a[2],
+            "u2v": A * b[2] + B * a[2],
+            "uv2": B * b[2] + Cq * a[2],
+            "v3": Cq * b[2],
+            "u2": A * c[2] + Dq * a[2],
+            "uv": B * c[2] + Dq * b[2] + E * a[2],
+            "v2": Cq * c[2] + E * b[2],
+            "u": Dq * c[2] + F * a[2],
+            "v": E * c[2] + F * b[2],
+            "const": F * c[2],
+        }
+        w_out = br["w_out"].reshape(C).astype(jnp.float32)
+        b_out = br["b_out"].reshape(-1).astype(jnp.float32)[0]
+        coef = {k: dt * jnp.dot(w_out, v_) for k, v_ in mono.items()}
+        coef["const"] = coef["const"] + dt * b_out
+        k = dt * nu[eq] * inv_dx2
+        center = k * 3.0 * (-5.0 / 2.0)
+        coef["u" if eq == 0 else "v"] = (
+            coef["u" if eq == 0 else "v"] + center)
+        rows.append(jnp.stack([
+            k * (4.0 / 3.0), k * (-1.0 / 12.0), coef["const"],
+            coef["u"], coef["v"], coef["u2"], coef["uv"], coef["v2"],
+            coef["u3"], coef["u2v"], coef["uv2"], coef["v3"],
+        ]))
+    return jnp.concatenate(rows)
+
+
+def _width_masks(shape, W: int):
+    """Static lane masks for the width-wrap blend, hoisted out of the
+    per-shift helper (iota + mod + compare once per kernel body instead of
+    once per shift per field)."""
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) % W
+    return (w_idx < W - 1, w_idx >= 1, w_idx < W - 2, w_idx >= 2)
+
+
+def _shift_w_masked(x, s: int, W: int, mask):
+    a = _roll(x, s, 1)
+    b = _roll(x, s - W, 1) if s > 0 else _roll(x, s + W, 1)
+    return jnp.where(mask, a, b)
+
+
+def _lap_sums_flat(x, W: int, masks):
+    """(sum of the six +-1 neighbours, sum of the six +-2 neighbours) on
+    the flat [D, H*W] layout — the stencil weights are folded into the
+    packed k1/k2 scalars."""
+    m1p, m1n, m2p, m2n = masks
+    s1 = (_roll(x, 1, 0) + _roll(x, -1, 0)
+          + _roll(x, W, 1) + _roll(x, -W, 1)
+          + _shift_w_masked(x, 1, W, m1p) + _shift_w_masked(x, -1, W, m1n))
+    s2 = (_roll(x, 2, 0) + _roll(x, -2, 0)
+          + _roll(x, 2 * W, 1) + _roll(x, -2 * W, 1)
+          + _shift_w_masked(x, 2, W, m2p) + _shift_w_masked(x, -2, W, m2n))
+    return s1, s2
+
+
+def _step_flat_expanded(u, v, e_ref, masks, *, W: int):
+    s1u, s2u = _lap_sums_flat(u, W, masks)
+    s1v, s2v = _lap_sums_flat(v, W, masks)
+    u2 = u * u
+    uv = u * v
+    v2 = v * v
+    u3 = u2 * u
+    u2v = u2 * v
+    uv2 = u * v2
+    v3 = v2 * v
+
+    def upd(eq, x, s1, s2):
+        o = EXPANDED_ROW * eq
+        return (x + e_ref[o] * s1 + e_ref[o + 1] * s2 + e_ref[o + 2]
+                + e_ref[o + 3] * u + e_ref[o + 4] * v + e_ref[o + 5] * u2
+                + e_ref[o + 6] * uv + e_ref[o + 7] * v2 + e_ref[o + 8] * u3
+                + e_ref[o + 9] * u2v + e_ref[o + 10] * uv2
+                + e_ref[o + 11] * v3)
+
+    return upd(0, u, s1u, s2u), upd(1, v, s1v, s2v)
+
+
 def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
                       cfg: PiCellConfig, D: int, H: int, W: int,
-                      unroll: int, final_only: bool, n_iters: int):
+                      unroll: int, final_only: bool, n_iters: int,
+                      expanded: bool):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -104,8 +235,13 @@ def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
 
     u = su_ref[:, :]
     v = sv_ref[:, :]
+    if expanded:
+        masks = _width_masks((D, H * W), W)
     for k in range(unroll):
-        u, v = _step_flat(u, v, p_ref, cfg=cfg, D=D, H=H, W=W)
+        if expanded:
+            u, v = _step_flat_expanded(u, v, p_ref, masks, W=W)
+        else:
+            u, v = _step_flat(u, v, p_ref, cfg=cfg, D=D, H=H, W=W)
         if not final_only:
             out_ref[k, 0, :, :] = u
             out_ref[k, 1, :, :] = v
@@ -119,13 +255,15 @@ def _rollout3d_kernel(p_ref, init_ref, out_ref, su_ref, sv_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "n_steps", "D", "H", "W", "interpret", "unroll", "final_only"))
+    "cfg", "n_steps", "D", "H", "W", "interpret", "unroll", "final_only",
+    "expanded"))
 def _fused_rollout3d_flat(packed, state0, *, cfg, n_steps, D, H, W,
-                          interpret, unroll=1, final_only=False):
+                          interpret, unroll=1, final_only=False,
+                          expanded=False):
     n_iters = n_steps // unroll
     kernel = functools.partial(_rollout3d_kernel, cfg=cfg, D=D, H=H, W=W,
                                unroll=unroll, final_only=final_only,
-                               n_iters=n_iters)
+                               n_iters=n_iters, expanded=expanded)
     if final_only:
         out_specs = pl.BlockSpec((2, D, H * W), lambda t: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -163,6 +301,7 @@ def fused_rollout_3d(
     interpret: bool | None = None,
     unroll: int = 1,
     final_only: bool = False,
+    expanded: bool = True,
 ) -> jnp.ndarray:
     """[D, H, W, 2] -> [n_steps+1, D, H, W, 2] fused rollout (frame 0 = h0).
 
@@ -174,6 +313,11 @@ def fused_rollout_3d(
     runs/round5/bench3d_probe.jsonl); ``unroll`` fuses that many cell steps
     per grid iteration (amortises the grid/revisit overhead; 2 is the
     measured sweet spot).  n_steps must be divisible by unroll.
+
+    ``expanded=True`` (default) evaluates the k=1 Pi product in its
+    algebraically expanded 10-coefficient cubic form (see
+    `pack_pi_expanded_3d`) — identical math reassociated, ~40% fewer VPU
+    ops per step.  Set False to run the literal branch-product form.
     """
     if cfg.kernel_size != 1 or cfg.n_branches != 3:
         raise NotImplementedError(
@@ -185,11 +329,13 @@ def fused_rollout_3d(
         raise ValueError(f"n_steps={n_steps} not divisible by unroll={unroll}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    packed = pack_pi_params_2d(params, cfg)
+    packed = (pack_pi_expanded_3d(params, cfg) if expanded
+              else pack_pi_params_2d(params, cfg))
     state0 = jnp.moveaxis(h0.astype(jnp.float32), -1, 0).reshape(2, D, H * W)
     out = _fused_rollout3d_flat(
         packed, state0, cfg=cfg, n_steps=n_steps, D=D, H=H, W=W,
         interpret=interpret, unroll=unroll, final_only=final_only,
+        expanded=expanded,
     )
     if final_only:
         return jnp.moveaxis(out.reshape(2, D, H, W), 0, -1)

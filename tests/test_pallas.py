@@ -136,6 +136,26 @@ def test_fused_rollout_3d_final_only_and_unroll():
         fused_rollout_3d(params, h0, cfg, 5, unroll=2, interpret=True)
 
 
+def test_fused_rollout_3d_expanded_matches_literal():
+    """The expanded-cubic fast path (pack_pi_expanded_3d) is the same math
+    reassociated: it must agree with both the literal branch-product kernel
+    and the jnp cell step, for the real experiment width (hidden=8)."""
+    from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
+
+    cfg = PiCellConfig(ndim=3, hidden=8, kernel_size=1, dt=0.5, dx=2.08,
+                       diffusion="sigmoid", mu_up=0.274, init_scale=0.01)
+    params = init_pi_cell(jax.random.PRNGKey(2), cfg)
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 8, 16, 2),
+                                 jnp.float32)
+    ref = rollout(lambda h: pi_cell_step(params, h, cfg), h0, 5, remat=False)
+    lit = fused_rollout_3d(params, h0, cfg, 5, interpret=True, expanded=False)
+    exp = fused_rollout_3d(params, h0, cfg, 5, interpret=True, expanded=True)
+    np.testing.assert_allclose(np.asarray(exp), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(exp), np.asarray(lit),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_fused_rollout_3d_rejects_unaligned():
     from percnn_tpu.ops.pallas.cell3d import fused_rollout_3d
 

@@ -82,6 +82,15 @@ class TrainConfig:
     # moments also discards the update direction that produced the spike.
     # Opt-in deviation: the reference watchdog restores the optimizer dict
     # (train_3drd.py:427-434).
+    abort_policy: str = "raise"
+    # What to do when the NaN watchdog exhausts its 50-rollback cap:
+    # "raise" (reference-faithful hard failure) or "stop" — end training
+    # early, log an `aborted` event, and return the tracked best/stable
+    # params so the post-training candidate selection (probe) can still
+    # evaluate the healthiest iterate.  Round-5 GS3D seed 5 hit an
+    # unrecoverable forward-rollout NaN at the stage-2 transition: no LR
+    # backoff can fix a rollout that diverges from the checkpoint itself,
+    # but the stage-1 .stable/.best iterates were healthy and evaluable.
     probe_every: int = 0
     # Cadence (iterations) of the caller-supplied stability probe (see
     # train(probe=...)).  0 disables probing.  The probe extends watchdog
@@ -256,6 +265,10 @@ def train(
                 if bad:
                     nan_streak += 1
                     if nan_streak > 50:
+                        if cfg.abort_policy == "stop":
+                            logger.log(it, event="aborted",
+                                       reason="50 consecutive failed chunks")
+                            break
                         raise FloatingPointError(
                             "watchdog: 50 consecutive failed chunks "
                             f"(iteration {it}); aborting")

@@ -117,10 +117,14 @@ GS3D_RECON = ExperimentConfig(
     # training-horizon watchdogs cannot see 1000-step rollout divergence
     # (seed 4 round 4: trained "ok", .best diverged at frame ~731);
     # spike_reset_opt: discard Adam moments on cascading rollbacks.
+    # abort_policy="stop": round-5 seed 5 hit an unrecoverable forward-NaN
+    # loop at the stage-2 transition — no LR backoff escapes it, but the
+    # stage-1 .best/.stable iterates remain evaluable candidates.
     train=TrainConfig(n_iters=12000, lr=2e-3, lr_step=250, lr_gamma=0.975,
                       watchdog=True, watchdog_key="phy", steps_per_call=10,
                       spike_mult=10.0, best_key="loss", lr_recover=1.002,
-                      spike_reset_opt=True, probe_every=250),
+                      spike_reset_opt=True, probe_every=250,
+                      abort_policy="stop"),
     loss_weights={"data": 10.0, "ic": 5.0},
     noise_pct=0.1,
     interp_method="linear",

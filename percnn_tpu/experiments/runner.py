@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 from functools import partial
 
@@ -611,6 +612,7 @@ def run_experiment(
                           extra_meta={"stage": i}, loss_args=largs,
                           probe=probe)
         history.extend(h)
+        last_stage_history = h
 
     if mesh is not None:
         # detach from the mesh so single-device inference/eval (and the
@@ -647,4 +649,76 @@ def run_experiment(
             ]
         except Exception:
             pass
+    # truth-free convergence telemetry for restart gating: the minimum
+    # training loss reached in the FINAL curriculum stage (loss scales are
+    # only comparable within a stage).  GS3D healthy inits reach ~1.6e-3;
+    # bad-basin inits plateau at 3e-3+ (rounds 3-5 robustness table).
+    finite_tail = [x for x in (last_stage_history if history else [])
+                   if math.isfinite(x)]
+    result["final_stage_min_loss"] = min(finite_tail) if finite_tail else None
     return result
+
+
+def run_experiment_with_restarts(
+    exp: ExperimentConfig,
+    *,
+    out_dir: str = "runs",
+    seed: int = 0,
+    max_restarts: int = 2,
+    seed_stride: int = 1000,
+    loss_gate: float | None = None,
+    **kw,
+) -> dict:
+    """run_experiment with automatic restart on TRUTH-FREE failure signals.
+
+    The GS3D workload is init-fragile: with the measurement noise fixed
+    (exp.seed), roughly half the parameter inits land in basins whose
+    300-step training loss plateaus 2-4x above the healthy band and whose
+    1000-step rollout is (near-)unstable — the reference's own workload is
+    exactly this NaN-prone (train_3drd.py:427-434), and its users rerun
+    failed seeds by hand.  This wraps that practice as a failure-recovery
+    policy: an attempt is retried with the init seed shifted by
+    ``seed_stride`` (data/noise untouched) when any truth-free gate trips:
+
+    - training aborted (watchdog exhausted, metrics log `aborted` event /
+      FloatingPointError under abort_policy="raise"),
+    - the selected candidate's inference rollout diverged
+      (evaluate()'s finiteness scan — no ground truth involved), or
+    - ``loss_gate`` is set and the final curriculum stage never reached a
+      training loss below it (noisy-measurement loss, truth-free; GS3D
+      healthy band ~1.6e-3 vs 3e-3+ for bad basins).
+
+    Among completed attempts the one with the LOWEST final-stage training
+    loss is returned, with the attempt log under ``result["attempts"]``
+    (every attempt keeps its artifacts in ``<out_dir>.retryN``).
+    """
+    attempts = []
+    best = None
+    for attempt in range(max_restarts + 1):
+        s = seed + attempt * seed_stride
+        d = out_dir if attempt == 0 else f"{out_dir}.retry{attempt}"
+        rec = {"attempt": attempt, "init_seed": s, "out_dir": d}
+        try:
+            res = run_experiment(exp, out_dir=d, seed=s, **kw)
+        except FloatingPointError as e:
+            rec.update(error=str(e)[:200])
+            attempts.append(rec)
+            continue
+        ml = res.get("final_stage_min_loss")
+        rec.update(rel_l2=res.get("rel_l2"), diverged=res.get("diverged"),
+                   final_stage_min_loss=ml,
+                   candidate=res.get("candidate"))
+        attempts.append(rec)
+        if best is None or (ml is not None and
+                            ml < best.get("final_stage_min_loss", math.inf)):
+            best = res
+        gated = (res.get("diverged")
+                 or ml is None
+                 or (loss_gate is not None and ml > loss_gate))
+        if not gated:
+            break
+    if best is None:
+        raise FloatingPointError(
+            f"all {max_restarts + 1} attempts aborted: {attempts}")
+    best["attempts"] = attempts
+    return best

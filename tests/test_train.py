@@ -556,3 +556,53 @@ def test_spike_reset_opt_reinits_moments_on_repeat_rollback(tmp_path):
     with pytest.raises(FloatingPointError, match="watchdog"):
         train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg2, logger=logger2)
     assert not any("opt_reset" in r for r in logger2.history)
+
+
+def test_abort_policy_stop_returns_instead_of_raising(tmp_path):
+    """abort_policy='stop' ends training gracefully when the NaN watchdog
+    exhausts its rollback cap (round-5 GS3D seed 5: an unrecoverable
+    forward-NaN loop at the stage-2 transition), logging an `aborted` event
+    and returning the tracked params for candidate selection."""
+    from percnn_tpu.utils.metrics import MetricsLogger
+
+    def loss_fn(p):
+        l = jnp.sum(p["w"] ** 2)
+        return l, {"phy": jnp.where(jnp.sum(p["w"] ** 2) > 25.0, jnp.nan, l)}
+
+    cfg = TrainConfig(n_iters=20, lr=1e-2, watchdog=True, watchdog_key="phy",
+                      abort_policy="stop", ckpt_path=str(tmp_path / "w.npz"))
+    logger = MetricsLogger()
+    params, hist = train(loss_fn, {"w": 6.0 * jnp.ones(3)}, cfg,
+                         logger=logger)
+    assert np.isfinite(np.asarray(params["w"])).all()
+    assert any(r.get("event") == "aborted" for r in logger.history)
+
+
+def test_run_experiment_with_restarts_gates_and_records(tmp_path):
+    """loss_gate trips -> a retry runs with the init seed shifted; the
+    attempt log records both and the returned result is the lower-loss
+    attempt (truth-free selection)."""
+    exp = _tiny_lo_config()
+    res = R.run_experiment_with_restarts(
+        exp, out_dir=str(tmp_path / "r"), seed=0, max_restarts=1,
+        loss_gate=1e-30,  # unreachable: always gates -> exactly 2 attempts
+        cache_dir=None, dtype=jnp.float64, warmup=40,
+    )
+    att = res["attempts"]
+    assert [a["init_seed"] for a in att] == [0, 1000]
+    assert att[1]["out_dir"].endswith(".retry1")
+    losses = [a["final_stage_min_loss"] for a in att]
+    assert all(np.isfinite(l) for l in losses)
+    assert res["final_stage_min_loss"] == min(losses)
+    assert np.isfinite(res["rel_l2"])
+
+
+def test_run_experiment_with_restarts_stops_when_healthy(tmp_path):
+    """No gate tripped -> a single attempt, no retry artifacts."""
+    exp = _tiny_lo_config()
+    res = R.run_experiment_with_restarts(
+        exp, out_dir=str(tmp_path / "r"), seed=0, max_restarts=2,
+        loss_gate=None, cache_dir=None, dtype=jnp.float64, warmup=40,
+    )
+    assert len(res["attempts"]) == 1
+    assert not os.path.exists(str(tmp_path / "r.retry1"))

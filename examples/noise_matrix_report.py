@@ -59,6 +59,8 @@ def main(path="runs/round3/queue_results.jsonl"):
                 mark = "*"
             elif r is not None and r["tag"].endswith("_ens"):
                 mark = "†"
+            elif r is not None and r["tag"].endswith("_stable"):
+                mark = "‡"
             for eq in ("u", "v"):
                 ref = REF[(system, eq)][pct]
                 if r is None:
@@ -83,7 +85,9 @@ def main(path="runs/round3/queue_results.jsonl"):
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
         print("\n(* = reference-budget Stage-1 redo row; † = 4-member "
               "init-seed-ensemble Stage-1 + stability-selection Stage-2 "
-              "with the round-5 high-noise identifiability fix)")
+              "with the round-5 high-noise identifiability fix; "
+              "‡ = reference-budget Stage-1 + stability-selection Stage-2 "
+              "on the same saved reconstruction)")
 
     import os
     full_path = os.path.join(os.path.dirname(path) or ".",

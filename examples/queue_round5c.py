@@ -1,0 +1,92 @@
+"""Round-5c TPU queue — final-round closure tasks (after queue_round5b).
+
+1. burgers30_ens   — canonical Burgers 30%-noise row redo on the SAVED
+   round-4 3-member ensemble MEAN reconstruction (stability-selection
+   Stage-2 + Stage-3), superseding the round-3 row whose u-equation
+   carries 3 spurious terms (the reference's own 30% u-row has 8,
+   PDE_FIND_u.py:298).  Runs examples/burgers10_stable_row.py 30.
+2. gs3d_seed7/8    — two more fresh seeds under the full
+   failure-recovery stack (run_experiment_with_restarts, loss gate
+   2.5e-3), widening the robustness table to 9 seeds.
+3. gs3d_table_v3   — regenerate the canonical per-seed table.
+4. reports_final   — regenerate noise matrix + stage-3 coef report.
+
+Resume: tasks short-circuit on ok rows in runs/round5/queue_results.jsonl.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo:/root/repo/examples nohup \
+       python examples/queue_round5c.py >> runs/round5/queue.log 2>&1 &
+"""
+import os
+import subprocess
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/percnn_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from queue_round5 import (OUT, commit, done_tags, guarded,  # noqa: E402
+                          record, reports)
+from queue_round5b import LOSS_GATE, gs3d_table_v2  # noqa: E402
+
+ROW_PATH = "runs/round3/queue_results.jsonl"
+
+
+def burgers30_ens():
+    env = dict(os.environ, PYTHONPATH="/root/.axon_site:/root/repo")
+    r = subprocess.run(
+        [sys.executable, "examples/burgers10_stable_row.py", "30"],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    tail = (r.stdout or "").strip().splitlines()
+    if r.returncode != 0:
+        raise RuntimeError(f"rc={r.returncode}: {(r.stderr or '')[-800:]}")
+    return {"row": tail[-1] if tail else None}
+
+
+def gs3d_fresh(seed):
+    from percnn_tpu.experiments import EXPERIMENTS
+    from percnn_tpu.experiments.runner import run_experiment_with_restarts
+
+    exp = EXPERIMENTS["gs3d_recon"]
+    d = os.path.join(OUT, f"gs3d_seed{seed}")
+    res = run_experiment_with_restarts(
+        exp, out_dir=d, cache_dir="data_cache", seed=seed,
+        max_restarts=2, loss_gate=LOSS_GATE)
+    attempts = res["attempts"]
+    ok_attempts = [a for a in attempts
+                   if a.get("final_stage_min_loss") is not None]
+    sel = (min(ok_attempts, key=lambda a: a["final_stage_min_loss"])
+           ["attempt"] if ok_attempts else None)
+    return {"seed": seed, "selected_attempt": sel,
+            "rel_l2": res.get("rel_l2"),
+            "final_stage_min_loss": res.get("final_stage_min_loss"),
+            "diverged": res.get("diverged"),
+            "candidate": res.get("candidate"),
+            "attempts": attempts}
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    done = done_tags()
+    record("queue5c_start", {"done_already": sorted(
+        t for t in done if t.startswith(("burgers30", "gs3d_seed7",
+                                         "gs3d_seed8")))})
+
+    if "burgers30_ens" not in done:
+        guarded("burgers30_ens", burgers30_ens,
+                ["runs/round5/burgers30_stable", ROW_PATH])
+
+    for seed in (7, 8):
+        tag = f"gs3d_seed{seed}_final"
+        if tag not in done:
+            guarded(tag, lambda s=seed: gs3d_fresh(s))
+            cand = [os.path.join(OUT, f"gs3d_seed{seed}{suf}")
+                    for suf in ("", ".retry1", ".retry2")]
+            commit(tag, [p for p in cand if os.path.exists(p)])
+
+    guarded("gs3d_table_v3", gs3d_table_v2,
+            [os.path.join(OUT, "gs3d_robustness.md")])
+    if "reports_final" not in done:
+        guarded("reports_final", reports)
+    record("queue5c_done", {})

@@ -83,9 +83,10 @@ def main(path="runs/round3/queue_results.jsonl"):
                       f"{spur} vs {ref['spurious']} | "
                       f"{s1 if s1 is None else f'{s1:.3g}'} | "
                       f"{s3 if s3 is None else f'{s3:.3g}'} |")
-        print("\n(* = reference-budget Stage-1 redo row; † = 4-member "
-              "init-seed-ensemble Stage-1 + stability-selection Stage-2 "
-              "with the round-5 high-noise identifiability fix; "
+        print("\n(* = reference-budget Stage-1 redo row; † = init-seed-"
+              "ensemble Stage-1 mean aggregate (LO: 4 members; Burgers: 3) "
+              "+ stability-selection Stage-2, LO with the round-5 "
+              "high-noise identifiability fix; "
               "‡ = reference-budget Stage-1 + stability-selection Stage-2 "
               "on the same saved reconstruction)")
 

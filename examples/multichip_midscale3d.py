@@ -20,6 +20,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh
+# the 8-device halo-BPTT graph takes ~20 min to compile on this 1-core VM;
+# cache it so crash/VM-reset restarts (this script resumes from checkpoints)
+# skip straight to execution
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/percnn_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402

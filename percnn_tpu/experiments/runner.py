@@ -698,8 +698,16 @@ def run_experiment_with_restarts(
         s = seed + attempt * seed_stride
         d = out_dir if attempt == 0 else f"{out_dir}.retry{attempt}"
         rec = {"attempt": attempt, "init_seed": s, "out_dir": d}
+        # crash-resume: an interrupted attempt left a checkpoint in its
+        # own dir — pick the run back up instead of restarting from init
+        # (resume is only passed when the checkpoint exists, because
+        # run_experiment skips the ISG pretrain whenever resume=True)
+        akw = kw
+        if "resume" not in kw and os.path.exists(
+                os.path.join(d, f"{exp.name}.ckpt.npz")):
+            akw = dict(kw, resume=True)
         try:
-            res = run_experiment(exp, out_dir=d, seed=s, **kw)
+            res = run_experiment(exp, out_dir=d, seed=s, **akw)
         except FloatingPointError as e:
             rec.update(error=str(e)[:200])
             attempts.append(rec)
@@ -709,12 +717,16 @@ def run_experiment_with_restarts(
                    final_stage_min_loss=ml,
                    candidate=res.get("candidate"))
         attempts.append(rec)
+        best_ml = (best or {}).get("final_stage_min_loss")
         if best is None or (ml is not None and
-                            ml < best.get("final_stage_min_loss", math.inf)):
+                            ml < (math.inf if best_ml is None else best_ml)):
             best = res
+        # a missing final-stage loss (e.g. a resumed run whose training
+        # already finished) can only trip the gate when a loss_gate is in
+        # use — otherwise a clean, non-diverged run would be retried
         gated = (res.get("diverged")
-                 or ml is None
-                 or (loss_gate is not None and ml > loss_gate))
+                 or (loss_gate is not None and (ml is None
+                                                or ml > loss_gate)))
         if not gated:
             break
     if best is None:

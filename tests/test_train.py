@@ -606,3 +606,20 @@ def test_run_experiment_with_restarts_stops_when_healthy(tmp_path):
     )
     assert len(res["attempts"]) == 1
     assert not os.path.exists(str(tmp_path / "r.retry1"))
+
+
+def test_run_experiment_with_restarts_crash_resume(tmp_path):
+    """Re-invoking the ladder on a completed attempt dir crash-resumes from
+    its checkpoint instead of retraining: no loss_gate -> a single attempt
+    even though the resumed run reports final_stage_min_loss=None (training
+    already finished), and the None loss must not crash best-attempt
+    selection (round-5 verify regression)."""
+    exp = _tiny_lo_config()
+    kw = dict(out_dir=str(tmp_path / "r"), seed=0, max_restarts=2,
+              loss_gate=None, cache_dir=None, dtype=jnp.float64, warmup=40)
+    first = R.run_experiment_with_restarts(exp, **kw)
+    res = R.run_experiment_with_restarts(exp, **kw)  # ckpt now exists
+    assert len(res["attempts"]) == 1
+    assert not os.path.exists(str(tmp_path / "r.retry1"))
+    assert np.isfinite(res["rel_l2"])
+    assert abs(res["rel_l2"] - first["rel_l2"]) < 0.05

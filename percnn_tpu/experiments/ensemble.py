@@ -55,6 +55,7 @@ def run_ensemble(
     steps_per_call: int | None = None,
     mesh=None,
     member_axis: str = "data",
+    spatial_axes: tuple = (),
     warmup: int | None = None,
     bptt: str = "auto",
     seed: int = 0,
@@ -63,6 +64,11 @@ def run_ensemble(
 
     mesh: optional jax Mesh — the member axis of every stacked array/param
     is sharded over `member_axis` (pure DP; each member stays whole).
+    spatial_axes: optional mesh axis names for the field dimensions — with
+    e.g. mesh ('data','x','y') and spatial_axes=('x','y'), each member is
+    ALSO spatially partitioned (3-axis DP x domain decomposition; GSPMD
+    inserts the halo collectives).  Params stay member-sharded/spatially
+    replicated.  Use bptt='two_phase' (the Pallas paths need whole members).
     bptt: 'auto' picks, for fusable 2D cells on one TPU, a static
     per-member loop of single fused rollouts inside one jit (measured
     fastest: each member runs at single-model fused cost with zero extra
@@ -99,12 +105,34 @@ def run_ensemble(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        shard = NamedSharding(mesh, P(member_axis))
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard) if x is not None else None, t)
-        params = put(params)
-        batched = Problem(exp, truth, put(batched.h0), put(batched.ic_low),
-                          put(batched.measurement))
+        sp, nd = tuple(spatial_axes), exp.cell.ndim
+
+        def put(t, spatial=False):
+            def one(x):
+                if x is None:
+                    return None
+                dims = x.shape[x.ndim - 1 - nd:x.ndim - 1]
+                fits = all(d % mesh.shape[a] == 0 for d, a in zip(dims, sp))
+                if spatial and sp and fits:
+                    # member data is [M, ..., *spatial(nd dims), C]: the
+                    # spatial dims always sit just before the channel dim
+                    # (leading extras: time for measurements, batch for ICs)
+                    pad = (None,) * (x.ndim - 2 - nd)
+                    spec = P(member_axis, *pad, *sp, None)
+                else:
+                    # e.g. an odd low-res IC grid: keep it member-sharded,
+                    # spatially replicated (GSPMD reshards at the ISG)
+                    spec = P(member_axis)
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            return jax.tree_util.tree_map(one, t)
+
+        params = put(params)  # member-sharded, spatially replicated
+        batched = Problem(
+            exp, truth,
+            put(batched.h0, spatial=True),
+            put(batched.ic_low, spatial=True),
+            put(batched.measurement, spatial=True))
 
     arrays = (batched.h0, batched.ic_low, batched.measurement)
 

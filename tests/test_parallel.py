@@ -303,3 +303,27 @@ def test_run_experiment_mesh_data_driven(tmp_path):
                          seed=0, mesh=mesh)
     assert np.isfinite(res["history"]).all()
     assert np.isfinite(res["rel_l2"])
+
+
+def test_ensemble_dp_spatial_3axis_mesh(tmp_path):
+    """Full 3-axis mesh (DP members x spatial domain decomposition) through
+    the public ensemble API: each member is spatially partitioned via GSPMD
+    (spatial_axes) while the member axis shards as DP.  Per-member rel-L2
+    must match the unsharded ensemble (same seeds, same two_phase path)."""
+    import dataclasses
+    from percnn_tpu.experiments import GS2D_RECON
+    from percnn_tpu.experiments.ensemble import run_ensemble
+
+    exp = dataclasses.replace(
+        GS2D_RECON, grid=16, train_steps=6, infer_steps=6, curriculum=(),
+        isg_pretrain_iters=5,
+        train=dataclasses.replace(GS2D_RECON.train, n_iters=4, log_every=100))
+    kw = dict(cache_dir=str(tmp_path / "cache"), n_iters_override=4,
+              isg_pretrain_override=5, bptt="two_phase", seed=0)
+    ref = run_ensemble(exp, 2, out_dir=str(tmp_path / "single"), **kw)
+    mesh = make_mesh(("data", "x", "y"), shape=(2, 2, 2))
+    got = run_ensemble(exp, 2, out_dir=str(tmp_path / "mesh3"), mesh=mesh,
+                       spatial_axes=("x", "y"), **kw)
+    np.testing.assert_allclose(got["rel_l2_members"], ref["rel_l2_members"],
+                               rtol=1e-3)
+    np.testing.assert_allclose(got["history"], ref["history"], rtol=1e-3)

@@ -61,6 +61,8 @@ def main(path="runs/round3/queue_results.jsonl"):
                 mark = "†"
             elif r is not None and r["tag"].endswith("_stable"):
                 mark = "‡"
+            elif r is not None and r["tag"].endswith("_r5"):
+                mark = "§"
             for eq in ("u", "v"):
                 ref = REF[(system, eq)][pct]
                 if r is None:
@@ -88,7 +90,10 @@ def main(path="runs/round3/queue_results.jsonl"):
               "+ stability-selection Stage-2, LO with the round-5 "
               "high-noise identifiability fix; "
               "‡ = reference-budget Stage-1 + stability-selection Stage-2 "
-              "on the same saved reconstruction)")
+              "on the same saved reconstruction; "
+              "§ = round-5 rerun under the current noise-aware Stage-2 "
+              "default — LO at ≥20% noise regresses the reference's 50:150 "
+              "window, examples/lo20_protocol_row.py)")
 
     import os
     full_path = os.path.join(os.path.dirname(path) or ".",
@@ -99,7 +104,9 @@ def main(path="runs/round3/queue_results.jsonl"):
             r = json.loads(line)
             frows[(r["system"], int(round(r["noise_pct"] * 100)))] = r
         print("\n### Stage-2 full-design-matrix refinement (subsample 1.0 "
-              "vs the protocol's 0.2; same saved reconstructions)\n")
+              "vs the protocol's 0.2; same saved reconstructions, except "
+              "rows whose canonical entry was since rerun on a fresh "
+              "reconstruction — marked § above)\n")
         print("| noise | eq | subsampled: rel-L2 / prec / rec (spurious) | "
               "full matrix: rel-L2 / prec / rec (spurious) |")
         print("|---|---|---|---|")
@@ -173,6 +180,16 @@ def main(path="runs/round3/queue_results.jsonl"):
             s3 = r.get("stage3_rel_l2")
             print(f"| {r['tag']} | {trip('u')} | {trip('v')} | "
                   f"{s3 if s3 is None else f'{s3:.3g}'} |")
+
+    robust = "runs/round5/gs3d_robustness.md"
+    if os.path.exists(robust):
+        # canonical round-5 table (restart-ladder protocol) supersedes the
+        # per-tag history below
+        with open(robust) as f:
+            body = f.read().split("\n", 1)[1]
+        print("\n### GS3D seed robustness (48^3, 12000 iters, round-5 "
+              "failure-recovery stack)\n" + body.strip())
+        return
 
     seeds = {}  # keyed by tag: the resumed and fresh seed-0 rows both count
     for line in open(path):

@@ -58,7 +58,7 @@ def _latency():
     return best
 
 
-def _timeit(many_fn, args, reps, lat, outer=3):
+def _timeit(many_fn, args, reps, lat, outer=5):
     """many_fn repeats its workload `reps` times inside one jit and returns
     a scalar-ish array; returns seconds per repetition."""
     _ = np.asarray(many_fn(*args)).ravel()[0:1]  # compile + warm
@@ -80,7 +80,11 @@ def headline(lat, on_tpu):
                        diffusion="sigmoid", mu_up=3.99e-5, init_scale=0.02)
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (H, W, 2), jnp.float32)
-    reps = 50 if on_tpu else 2
+    # reps sized so in-jit compute (~100-200ms) dwarfs the ~30ms tunnel RTT
+    # being subtracted: at reps=50 the RTT term was ~2/3 of the measured
+    # call and its jitter dominated the session-to-session variance
+    # (driver history 8.2-14.4 G on identical code).
+    reps = 400 if on_tpu else 2
 
     if on_tpu:
         packed = pack_pi_params_2d(params, cfg)
@@ -124,7 +128,7 @@ def gs3d_rollout(lat):
     params = init_pi_cell(jax.random.PRNGKey(0), cfg)
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (D3, D3, D3, 2),
                                  jnp.float32)
-    reps = 10
+    reps = 60
 
     @jax.jit
     def many(h):
@@ -137,7 +141,7 @@ def gs3d_rollout(lat):
                                     unroll=2)
         return lax.fori_loop(0, reps, body, h)
 
-    per_rollout = _timeit(many, (h0,), reps, lat)
+    per_rollout = _timeit(many, (h0,), reps, lat, outer=8)
     return D3 ** 3 * T3D / per_rollout
 
 
@@ -157,7 +161,7 @@ def k5_rollout_us_per_step(lat):
     from percnn_tpu.ops.pallas.backward2d import fused_rollout_tp_2d
 
     cfg, params, h0 = _k5_setup()
-    reps = 10
+    reps = 100
 
     @jax.jit
     def many(p, h):
@@ -198,7 +202,7 @@ def k1_grad_ms(lat):
     h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (H, W, 2), jnp.float32)
     return _grad_ms_per_iter(
         lambda p, h, n: fused_rollout_tp_2d_pg(p, h, cfg, n),
-        params, h0, 800, lat)
+        params, h0, 800, lat, reps=16)
 
 
 def k5_grad_ms(lat):
@@ -208,7 +212,7 @@ def k5_grad_ms(lat):
     cfg, params, h0 = _k5_setup()
     return _grad_ms_per_iter(
         lambda p, h, n: fused_rollout_tp_2d(p, h, cfg, n),
-        params, h0, T5, lat, reps=4)
+        params, h0, T5, lat, reps=16)
 
 
 def main() -> None:
